@@ -1,0 +1,164 @@
+"""ENRICH stage — hypertrace-trace-enricher analog (SURVEY.md §2.4).
+
+The reference runs 15 enrichers over each trace in topological order of
+declared dependencies (EnrichmentProcessor.java:73-154, topo sort in
+EnrichmentRegistry.java:124-159, dependency config in
+hypertrace-trace-enricher/.../configs/common/application.conf:75-139). Its
+entity/endpoint lookups hit remote services behind Guava caches
+(enrichers/cache/EntityCache.java) — here every lookup is a **broadcast hash
+join** against a small dim DataFrame, so the whole stage is shuffle-free and
+codegen'd.
+
+A registry of named column-derivation steps with dependencies is topo-sorted
+and applied as one fused ``select`` chain; Catalyst collapses it into a single
+projection over the broadcast joins.
+"""
+
+from __future__ import annotations
+
+import graphlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class EnrichContext:
+    """Broadcast dim tables available to enrichers (F3 fixtures)."""
+
+    endpoints: DataFrame | None = None
+    services: DataFrame | None = None
+    status_codes: DataFrame | None = None
+
+
+@dataclass(frozen=True)
+class Enricher:
+    name: str
+    fn: Callable[[DataFrame, EnrichContext], DataFrame]
+    depends_on: tuple[str, ...] = ()
+
+
+@dataclass
+class EnrichmentRegistry:
+    """Dependency-ordered enrichment DAG (EnrichmentRegistry.java:34-37 analog)."""
+
+    enrichers: dict[str, Enricher] = field(default_factory=dict)
+
+    def register(self, name: str, depends_on: tuple[str, ...] = ()):
+        def deco(fn: Callable[[DataFrame, EnrichContext], DataFrame]):
+            self.enrichers[name] = Enricher(name, fn, depends_on)
+            return fn
+
+        return deco
+
+    def topo_order(self) -> list[Enricher]:
+        ts = graphlib.TopologicalSorter(
+            {name: set(e.depends_on) for name, e in self.enrichers.items()}
+        )
+        order = list(ts.static_order())  # raises CycleError on cycles
+        missing = [n for n in order if n not in self.enrichers]
+        if missing:
+            raise KeyError(f"enrichers depended on but not registered: {missing}")
+        return [self.enrichers[n] for n in order]
+
+    def apply(self, df: DataFrame, ctx: EnrichContext,
+              drop_trace_col: str | None = None) -> DataFrame:
+        """Run all enrichers in dependency order.
+
+        ``drop_trace_col``: boolean column short-circuiting all enrichment for
+        flagged rows (DROP_TRACE_ATTRIBUTE, EnrichmentProcessor.java:109-115)
+        — those rows are filtered out before the enrichment projections.
+        """
+        if drop_trace_col is not None:
+            df = df.filter(~F.coalesce(F.col(drop_trace_col), F.lit(False)))
+        for enricher in self.topo_order():
+            df = enricher.fn(df, ctx)
+        return df
+
+
+DEFAULT_REGISTRY = EnrichmentRegistry()
+
+
+@DEFAULT_REGISTRY.register("endpoint")
+def endpoint_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
+    """EndpointEnricher analog (enrichers/endpoint/EndpointEnricher.java:55-130):
+    (tenant, operation) → api_id/api_name via broadcast hash join. Left join —
+    undiscovered endpoints keep NULL api_id (discovery-state analog)."""
+    if ctx.endpoints is None:
+        return df.withColumn("api_id", F.lit(None).cast("string")).withColumn(
+            "api_name", F.lit(None).cast("string")
+        )
+    dim = ctx.endpoints.select("tenant_id", "operation", "api_id", "api_name")
+    return df.join(F.broadcast(dim), on=["tenant_id", "operation"], how="left")
+
+
+@DEFAULT_REGISTRY.register("service")
+def service_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
+    """DefaultServiceEntityEnricher analog (DefaultServiceEntityEnricher.java:47-127):
+    tenant → service identity via broadcast join."""
+    if ctx.services is None:
+        return df.withColumn("service_id", F.lit(None).cast("string")).withColumn(
+            "service_name", F.lit(None).cast("string")
+        )
+    dim = ctx.services.select("tenant_id", "service_id", "service_name")
+    return df.join(F.broadcast(dim), on="tenant_id", how="left")
+
+
+@DEFAULT_REGISTRY.register("api_status")
+def status_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
+    """ApiStatusEnricher analog (enrichers/ApiStatusEnricher.java:38-133):
+    status code → SUCCESS/FAIL state + message via broadcast code table
+    (util/HttpCodeMapper.java analog)."""
+    if ctx.status_codes is None:
+        state = F.when(F.col("status_code").startswith("2") | F.col("status_code").startswith("3"),
+                       "SUCCESS").otherwise("FAIL")
+        return df.withColumn("status_state", state).withColumn(
+            "status_message", F.lit(None).cast("string")
+        )
+    dim = ctx.status_codes.select(
+        F.col("code").alias("status_code"),
+        F.col("state").alias("status_state"),
+        F.col("message").alias("status_message"),
+    )
+    return df.join(F.broadcast(dim), on="status_code", how="left")
+
+
+@DEFAULT_REGISTRY.register("errors", depends_on=("api_status",))
+def error_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
+    """ErrorsAndExceptionsEnricher per-row part (ErrorsAndExceptionsEnricher.java:44-98):
+    error flag/count derived from FAIL status."""
+    return df.withColumn(
+        "error_count", F.when(F.col("status_state") == "FAIL", F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+@DEFAULT_REGISTRY.register("token_stats")
+def token_stats_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
+    """Token-domain enrichment (graft-specific): length bucket + content
+    fingerprint. Buckets per FIXTURES.md F4 (1-16, 17-64, 65-256, 257-1024,
+    1025-4096); fingerprint = xxhash64 of the token array (stable, JVM-side),
+    used by exact-dedup and routing diagnostics."""
+    bucket = (
+        F.when(F.col("n_tok") <= 16, "1-16")
+        .when(F.col("n_tok") <= 64, "17-64")
+        .when(F.col("n_tok") <= 256, "65-256")
+        .when(F.col("n_tok") <= 1024, "257-1024")
+        .otherwise("1025-4096")
+    )
+    return df.withColumn("tok_bucket", bucket).withColumn(
+        "tok_fingerprint", F.xxhash64(F.col("tokens"))
+    )
+
+
+@DEFAULT_REGISTRY.register("lang", depends_on=("endpoint",))
+def lang_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
+    """HttpAttributeEnricher analog (enrichers/HttpAttributeEnricher.java:38-101):
+    promote a query param into a first-class enriched attribute."""
+    return df.withColumn("lang", F.element_at(F.col("query_params"), F.lit("lang")))
+
+
+def enrich(df: DataFrame, ctx: EnrichContext,
+           registry: EnrichmentRegistry = DEFAULT_REGISTRY) -> DataFrame:
+    return registry.apply(df, ctx)

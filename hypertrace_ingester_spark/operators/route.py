@@ -1,0 +1,56 @@
+"""ROUTE stage — view-generator fan-out analog (SURVEY.md §2.5).
+
+The reference fans each enriched trace into 6 views written to 6 topics
+(MultiViewGeneratorLauncher wiring, HypertraceIngester.java:64-66; per-view
+configs view-gen-*/application.conf). Here the sink key comes from a broadcast
+route-rules dim (source → sink), and the physical fan-out is ONE pass:
+``write.partitionBy("sink")`` — a single scan of the cached enriched DF
+producing every sink directory, instead of N scans (the Spark-first answer to
+N independent topic writers).
+
+Hot-key skew (src-0 ≈ 40% of rows, mirroring hot tenants) is handled by a
+salted repartition before the write plus AQE; the salt only affects physical
+file layout, never row content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def route(enriched: DataFrame, route_rules: DataFrame,
+          default_sink: str = "sink-default") -> DataFrame:
+    """Stamp each row with its sink via broadcast join on source.
+
+    Unmatched sources go to ``default_sink`` (dead-letter analog)."""
+    dim = route_rules.select("source", "sink")
+    routed = enriched.join(F.broadcast(dim), on="source", how="left")
+    return routed.withColumn("sink", F.coalesce(F.col("sink"), F.lit(default_sink)))
+
+
+def salted_repartition(df: DataFrame, key: str = "sink",
+                       buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Spread hot sink/tenant keys across ``buckets`` shuffle partitions each
+    (salting analog of the reference's weighted group partitioner,
+    SpanNormalizer.java:72-80 / RawSpansGrouper.java:112-123). The salt column
+    is dropped after the exchange — it exists only to balance the shuffle."""
+    df = df.withColumn("_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets)))
+    return df.repartition(F.col(key), F.col("_salt")).drop("_salt")
+
+
+def fan_out(routed: DataFrame, out_dir: str, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> None:
+    """Write every sink in one pass: parquet partitioned by sink.
+
+    Production target is Iceberg (``writeTo(tbl).append()`` with
+    write.distribution-mode=hash); parquet ``partitionBy`` is the local-sandbox
+    stand-in with identical layout semantics (one directory per sink)."""
+    df = salted_repartition(routed, "sink", salt_buckets)
+    # tokens kept verbatim — per-row token-array equality is the invariant.
+    df.write.mode("overwrite").partitionBy("sink").parquet(out_dir)
+
+
+def sink_names(route_rules: DataFrame) -> list[str]:
+    return [r["sink"] for r in route_rules.select("sink").distinct().collect()]

