@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→enrich→route→aggregate DAG over the
+sf0.001 events table; ``queries()`` / ``oracle_sql()`` expose the operator
+catalog from ``hypertrace_ingester_spark.queries`` (one entry per implemented
+operator from SURVEY.md §2 plus the training-data dedup/similarity/text ops).
 """
 
 from __future__ import annotations
@@ -12,27 +11,46 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hypertrace_ingester_spark import queries as qcat
+from hypertrace_ingester_spark.operators import views as vw
+from hypertrace_ingester_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full pipeline collapsed to its aggregate face.
+
+    parse (JSON attr extraction + ms normalization) → enrich (status/kind
+    classification) → route (rule fan-out to sinks) → aggregate (per-sink,
+    per-hour counts). One scan, one shuffle (the final groupBy).
+    """
+    events = load_table(spark, SF0001, "events")
+    enriched = vw.span_event_view(events)  # parse + enrich projections
+    sink = (
+        F.when(F.col("status_state") == "FAIL", "sink-dlq")
+        .when(F.col("kind") == "ENTRY", "sink-0")
+        .otherwise("sink-1")
+    )
+    bucket = (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("bucket_start_ms")
+    return (
+        enriched.withColumn("sink", sink)
+        .groupBy("sink", bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value_r"), 2).alias("total_value"),
+            F.sum(F.when(F.col("status_state") == "FAIL", 1).otherwise(0))
+            .cast("long")
+            .alias("error_rows"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return qcat.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return qcat.oracle_sql()

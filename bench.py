@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Two workloads:
+1. the flagship synthetic-sequences parse→enrich→route→aggregate pipeline
+   (BASELINE.json north_rule metric: sequences/sec end-to-end);
+2. headline operator queries from the catalog, run at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) and forced with a noop write (full
+   computation, no driver collect).
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_ROWS (default 1,000,000 synthetic sequences).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from hypertrace_ingester_spark import datagen
+from hypertrace_ingester_spark.plans.pipeline import PipelineConfig, run_pipeline
+from hypertrace_ingester_spark.queries import REGISTRY
+from hypertrace_ingester_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "e_multihop_dims",
+    "e_broadcast_endpoint",
+    "g_sessionize",
+    "g_row_cap",
+    "v_span_event_view",
+    "v_service_call_rollup",
+    "a_windowed_counts",
+    "a_percentiles",
+    "r_route_fanout",
+    "d_exact_dedup",
+    "d_quality_score",
+    "d_lang_id",
+    "d_minhash_lsh",
+    "d_simhash",
+    "s_knn_bruteforce",
+    "s_ann_lsh",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    # --- flagship pipeline throughput (sequences/sec) -------------------
+    # Input is materialized to parquet first (the north rule's input is an
+    # Iceberg TABLE, not a generator) so the timed section measures the
+    # pipeline: scan → parse → enrich → route fan-out → aggregate.
+    input_dir = os.path.join(tempfile.gettempdir(), f"bench_seq_{n_rows}.parquet")
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        datagen.generate_sequences(spark, n_rows, partitions=cpus * 4).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+    seqs = spark.read.parquet(input_dir)
+
+    out_dir = tempfile.mkdtemp(prefix="bench_pipe_")
+    t0 = time.time()
+    run_pipeline(spark, seqs, PipelineConfig(out_dir=out_dir))
+    pipeline_sec = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- headline operator queries --------------------------------------
+    query_secs: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        t0 = time.time()
+        force(qd.fn(spark, sf_dir))
+        query_secs[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "e2e_pipeline_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "pipeline_rows": n_rows,
+        "throughput_seq_per_sec": round(n_rows / pipeline_sec, 1),
+        "cpus": cpus,
+        "total_query_sec": round(sum(query_secs.values()), 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,222 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline extensions beyond the reference's operator set
+(driver mandate): exact dedup, MinHash+LSH near-dup, SimHash, n-gram
+Jaccard. All JVM-side column expressions — the MinHash signatures, LSH
+banding, and SimHash bit votes are built from ``xxhash64`` + higher-order
+array functions, so the whole stage is codegen'd with zero Python.
+
+Scale design (100 TB):
+- exact dedup: one shuffle on the content hash; map-side partial agg.
+- MinHash/LSH: signatures are a narrow map (no shuffle); banding explodes
+  ×n_bands (small constant); the bucket self-join shuffles on
+  (band, band_hash) — exactly the pairs blocking is meant to bound. A
+  crowded bucket (degenerate shingles) is capped (``max_bucket_size``) the
+  same way G3 caps runaway traces.
+- SimHash: explode(words) is map-side only; the 64 bit-vote sums are one
+  partial-agg shuffle on doc_id.
+- n-gram Jaccard: only within explicit blocking keys; never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands × 4 rows — ~0.5 jaccard threshold knee
+SHINGLE_K = 3
+
+
+def words(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(text_col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles via sequence+transform (no explode)."""
+    w = words(text_col)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy (md5 so the DuckDB oracle can
+    reproduce it; at 100 TB swap to xxhash64 — same plan shape)."""
+    return (
+        docs.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      num_perm: int = MINHASH_PERMS) -> DataFrame:
+    """MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i).
+
+    Salted-hash permutations instead of (a*x+b) mod p — identical collision
+    statistics, pure JVM. Adds one array column; no shuffle."""
+    sh = shingles(text_col)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+    return docs.withColumn("shingles", sh).withColumn("minhash", sig)
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    num_perm: int = MINHASH_PERMS,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """LSH banding → bucket self-join → candidate (id, id) pairs.
+
+    Each signature splits into ``bands`` bands of ``num_perm // bands`` rows;
+    docs sharing any band hash are candidates. The banded frame is narrow
+    (id + 2 longs — shingle arrays are NOT carried through the join) and
+    cached, so the 64-hash signature computation runs ONCE, not once per
+    self-join branch. The join key is (band_idx, band_hash) so the shuffle
+    is bounded by bucket sizes; ``max_bucket_size`` drops degenerate buckets
+    via a count window in the same shuffle (stop-shingle analog of the
+    reference's per-tenant cap, RawSpansProcessor.java:347-388)."""
+    from pyspark.sql import Window
+
+    rows_per_band = num_perm // bands
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at(F.col("minhash"), b * rows_per_band + r + 1)
+                  for r in range(rows_per_band)],
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        signed.select(id_col, band_arr.alias("bands"))
+        .select(id_col, F.posexplode("bands").alias("band_idx", "band_hash"))
+        .withColumn(
+            "_sz", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+        )
+        .filter(F.col("_sz") <= max_bucket_size)
+        .drop("_sz")
+        .cache()  # tiny (3 cols × docs × bands); reused by both join sides
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with EXACT shingle Jaccard
+    (LSH only blocks; the final filter is exact, so no false positives).
+
+    Candidate generation runs on narrow (id, band) rows; the shingle arrays
+    are joined back ONLY for the (few) candidate pairs — at 100 TB this is
+    the difference between shuffling ids and shuffling whole documents."""
+    base = docs.select(id_col, shingles(text_col).alias("sh")).cache()
+    signed = base.withColumn(
+        "minhash",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i))))
+                for i in range(MINHASH_PERMS)
+            ]
+        ),
+    )
+    pairs = lsh_candidate_pairs(signed, id_col)
+    sh_a = base.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(sh_a, on="doc_a")
+        .join(sh_b, on="doc_b")
+        .withColumn("jaccard", round_half_up(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs WITHIN a blocking key (e.g.
+    (lang, source)) — the non-approximate baseline the LSH path is judged
+    against. Shuffles once on the block key; pair count is bounded by the
+    largest block, never all-pairs."""
+    base = docs.select(id_col, *block_cols, shingles(text_col).alias("sh"))
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = (F.size("a.sh") + F.size("b.sh")).cast("double") - inter
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            round_half_up(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per doc, fully JVM-side.
+
+    explode(words) → xxhash64 per word → per-bit ±1 votes summed in ONE
+    partial-agg shuffle on doc_id → fingerprint = Σ (vote_b > 0) << b.
+    Near-dups then cluster by hamming distance on the fingerprint (e.g.
+    band the 64 bits into 4×16 and bucket-join, same pattern as LSH)."""
+    exploded = docs.select(
+        id_col, F.explode(words(text_col)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+        fp = term if fp is None else fp + term
+    return voted.select(id_col, fp.alias("simhash"))

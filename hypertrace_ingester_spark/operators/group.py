@@ -1,0 +1,126 @@
+"""GROUP stage — raw-spans-grouper analog (SURVEY.md §2.3, G1-G5).
+
+The reference buffers spans per (tenant, trace) in RocksDB and emits a
+StructuredTrace after a 30s inactivity gap via a throttled punctuator
+(raw-spans-grouper/.../RawSpansProcessor.java:186-247,
+TraceEmitPunctuator.java:94-196). On bounded input the state store collapses
+into declarative grouping:
+
+- session assembly  = gap-based sessionization with window functions (one
+  shuffle on the group key, whole-stage codegen'd — no Python);
+- per-group caps    = row_number() <= cap (G3, RawSpansProcessor.java:347-388);
+- span-id dedup     = collect_set / count(distinct) (G2,
+  TraceEmitPunctuator.java:123-150);
+- trace assembly    = groupBy().agg(collect_list(struct(...)), min, max) (G5).
+
+Scale notes: every op here shuffles exactly once on (tenant-analog, group
+key). Hot groups are bounded by the cap; AQE splits skewed partitions. The
+window functions sort within partitions only — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MS = 30 * 60 * 1000  # analog of span.groupby.session.window.interval
+
+
+def sessionize(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+    tiebreak_col: str = "event_id",
+    gap_ms: int = SESSION_GAP_MS,
+) -> DataFrame:
+    """G1 session-window assembly: rows within ``gap_ms`` of the previous row
+    (per group) share a session; a larger gap starts a new one.
+
+    Exactly the reference's inactivity-gap semantics
+    (RawSpansProcessor.java:186-247) expressed with lag + running sum —
+    the batch-equivalent of ``session_window`` (which we use in the
+    streaming path, see streaming/jobs.py).
+    """
+    w = Window.partitionBy(group_col).orderBy(ts_ms_col, tiebreak_col)
+    prev = F.lag(ts_ms_col).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(ts_ms_col) - prev) > gap_ms), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+
+
+def session_summary(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+) -> DataFrame:
+    """Close each session into one row — the emit side of the punctuator
+    (TraceEmitPunctuator.java:116-196): bounded input ⇒ every window is
+    closed, so emit is a plain aggregate."""
+    return (
+        df.groupBy(group_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_ms_col).alias("session_start_ms"),
+            F.max(ts_ms_col).alias("session_end_ms"),
+        )
+    )
+
+
+def cap_rows_per_group(
+    df: DataFrame,
+    cap: int,
+    group_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """G3 per-group row cap (RawSpansProcessor.java:347-388): keep the first
+    ``cap`` rows per group in deterministic order; excess rows dropped
+    (truncation counters come from comparing counts before/after)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .withColumnRenamed("_rn", "rn")
+    )
+
+
+def group_distinct_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """G2 dedup semantics: distinct member count per group
+    (array_distinct(collect_list(span_id)) analog, TraceEmitPunctuator.java:123-150).
+    count(distinct) is a two-phase partial aggregate — no collect on driver."""
+    return df.groupBy(group_col).agg(
+        F.countDistinct(value_col).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def assemble_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_ms_col: str = "ts_ms",
+    member_cols: list[str] | None = None,
+) -> DataFrame:
+    """G5 StructuredTrace building: one row per group carrying the ordered
+    member list + trace-level start/end/counts (StructuredTraceBuilder
+    analog, invoked at TraceEmitPunctuator.java:156-158).
+
+    ``sort_array`` on (ts, members) structs gives a deterministic member
+    order regardless of shuffle nondeterminism — required for golden-file
+    stability (SURVEY.md §7 risk 6).
+    """
+    member_cols = member_cols or [c for c in df.columns if c not in group_cols]
+    struct_cols = [ts_ms_col] + [c for c in member_cols if c != ts_ms_col]
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(ts_ms_col).alias("start_ms"),
+            F.max(ts_ms_col).alias("end_ms"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline extensions (driver mandate): language-ID heuristic,
+quality scoring, token counting, document fingerprinting. Everything is
+built-in column functions (codegen'd, zero shuffle — pure map stage); each
+has a DuckDB-expressible oracle in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+# BPE-ish token estimate: word-chunks of ~4 chars (public rule of thumb);
+# regexp-based so it stays JVM-side.
+BPE_CHARS_PER_TOKEN = 4
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _stopword_hits(text_col: str, stops: list[str]) -> Column:
+    """# words that are in the stopword set (word-level, not substring)."""
+    return F.size(F.filter(_words(text_col), lambda w: w.isin(stops)))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish estimate (ceil(chars/4)) per doc."""
+    return docs.withColumn("n_words", F.size(_words(text_col))).withColumn(
+        "n_tokens_est",
+        F.ceil(F.length(F.col(text_col)).cast("double") / BPE_CHARS_PER_TOKEN).cast("int"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: score each language by stopword hits,
+    predict the argmax (deterministic tiebreak: language name order),
+    'unk' when nothing scores. Same structure as fasttext-style n-gram
+    voting, reduced to an auditable SQL-expressible rule."""
+    scores = {lang: _stopword_hits(text_col, stops) for lang, stops in LANG_STOPWORDS.items()}
+    best = None
+    best_lang = F.lit("unk")
+    for lang in sorted(LANG_STOPWORDS):  # later langs win only on strictly-greater
+        s = scores[lang]
+        if best is None:
+            best = F.when(s > 0, s).otherwise(F.lit(0))
+            best_lang = F.when(s > 0, F.lit(lang)).otherwise(F.lit("unk"))
+        else:
+            best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
+            best = F.when(s > best, s).otherwise(best)
+    return docs.withColumn("pred_lang", best_lang).withColumn("lang_score", best.cast("int"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: word count, mean word length, stopword
+    ratio, and a composite keep/drop flag (Gopher-rules-style thresholds)."""
+    w = _words(text_col)
+    n_words = F.size(w)
+    mean_wlen = round_half_up(
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        2,
+    )
+    stop_ratio = round_half_up(
+        _stopword_hits(text_col, LANG_STOPWORDS["en"]).cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        3,
+    )
+    keep = (n_words >= 10) & (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    return (
+        docs.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_keep", keep)
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: md5 over lowercased,
+    whitespace-collapsed text (md5 for DuckDB-oracle parity; xxhash64 at
+    scale). The rolling-hash variant for chunk-level dedup is the shingle
+    pipeline in dedup.py."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.withColumn("doc_fp", F.md5(normalized))

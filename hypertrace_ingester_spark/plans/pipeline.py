@@ -96,6 +96,7 @@ def run_pipeline(
 
     # ---- PARSE ----------------------------------------------------------
     parse_ckpt = os.path.join(cfg.out_dir, "_checkpoints", "parsed")
+    cached_parse = None
     if resume and manifest["stages"].get("parse", {}).get("complete"):
         parsed = spark.read.parquet(parse_ckpt)
     else:
@@ -105,6 +106,13 @@ def run_pipeline(
         if cfg.checkpoint_parse:
             parsed.write.mode("overwrite").parquet(parse_ckpt)
             parsed = spark.read.parquet(parse_ckpt)
+        else:
+            # the parse output feeds 3 consumers (counters, kept branch,
+            # bypass branch); without the checkpoint, persist it so the
+            # upstream lineage (potentially an expensive generator/scan)
+            # materializes exactly once — spill-safe at scale.
+            parsed = parsed.persist()
+            cached_parse = parsed
 
     counters = agg_ops.operational_counters(parsed)
     kept, bypass = parse_ops.split_parsed(parsed)
@@ -145,4 +153,6 @@ def run_pipeline(
         manifest["stages"]["route"]["partition_lineage"] = _partition_lineage(routed_back)
     manifest["elapsed_sec"] = round(time.time() - t0, 3)
     _write_manifest(cfg.out_dir, manifest)
+    if cached_parse is not None:
+        cached_parse.unpersist()
     return manifest

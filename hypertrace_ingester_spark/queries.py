@@ -1,0 +1,1027 @@
+"""Query catalog — every implemented operator (SURVEY.md §2 + training-data
+extensions) as a named (Spark DataFrame builder, DuckDB oracle SQL) pair.
+
+This is the correctness-gate surface consumed by ``__spark_entry__.py``: the
+driver runs each Spark query and its oracle side-by-side at sf=0.01 and
+compares row counts, schemas, and order-insensitive value hashes. Column
+names and types are aligned on both sides (integrals → bigint, doubles
+rounded) so the hashes are comparable.
+
+Conventions:
+- every callable takes (spark, sf_dir) and returns a DataFrame;
+- oracle SQL runs on DuckDB views named after the parquet tables;
+- queries whose semantics aren't SQL-expressible (MinHash-LSH, SimHash,
+  hyperplane ANN) carry no oracle — the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.numeric import round_half_up
+from .operators import dedup as dd
+from .operators import group as grp
+from .operators import parse as parse_ops
+from .operators import route as route_ops
+from .operators import similarity as sim
+from .operators import text as txt
+from .operators import views as vw
+from .sources import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    """events + normalized epoch-ms timestamp + extracted JSON attr
+    (EventBuilder.java:41-45 ms normalization; JaegerHTTagsConverter analog
+    for the attribute bag)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+        .withColumn("k_val", F.get_json_object("props", "$.k").cast("long"))
+    )
+
+
+_EVENTS_SQL = (
+    "SELECT *, epoch_ms(ts) AS ts_ms, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events"
+)
+
+
+# ---------------------------------------------------------------------------
+# PARSE stage (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_parse_props",
+    f"""
+    SELECT event_id, event_type, k_val, ts_ms
+    FROM ({_EVENTS_SQL})
+    """,
+    doc="P1/P8/P14 — attribute-bag parse + timestamp normalization "
+        "(JaegerSpanPreProcessor.java:66-128, EventBuilder.java:30-118).",
+)
+def p_parse_props(spark, sf_dir):
+    return _events(spark, sf_dir).select("event_id", "event_type", "k_val", "ts_ms")
+
+
+@register(
+    "p_drop_filter",
+    f"""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM ({_EVENTS_SQL})
+    WHERE NOT (
+      event_type = 'error'
+      OR (event_type = 'click' AND starts_with(CAST(k_val AS VARCHAR), '9'))
+    )
+    """,
+    doc="P5 — DNF drop-criteria compiled to one boolean Column "
+        "(SpanFilter.java:123-155 semantics via parse.DropCriteria).",
+)
+def p_drop_filter(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn("k_str", F.col("k_val").cast("string"))
+    criteria = parse_ops.DropCriteria(
+        criteria=(
+            (parse_ops.Cond("event_type", "EQ", "error"),),
+            (
+                parse_ops.Cond("event_type", "EQ", "click"),
+                parse_ops.Cond("k_str", "STARTS_WITH", "9"),
+            ),
+        )
+    )
+    return df.filter(~criteria.to_column()).select(
+        "event_id", "event_type", F.round("value", 2).alias("value_r")
+    )
+
+
+@register(
+    "p_exclude_rules",
+    f"""
+    SELECT event_id, event_type, k_val
+    FROM ({_EVENTS_SQL})
+    WHERE NOT (event_type = 'view' AND (k_val < 10 OR k_val >= 90))
+    """,
+    doc="P6 — exclude-rule AST (AND/OR tree) compiled recursively to a "
+        "Catalyst Column (ExcludeSpanRuleEvaluator.java:42-115).",
+)
+def p_exclude_rules(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    rule = {
+        "type": "and",
+        "children": [
+            {"type": "rel", "field": "event_type", "op": "EQ", "value": "view"},
+            {
+                "type": "or",
+                "children": [
+                    {"type": "rel", "field": "k_lo", "op": "EQ", "value": "1"},
+                    {"type": "rel", "field": "k_hi", "op": "EQ", "value": "1"},
+                ],
+            },
+        ],
+    }
+    df = df.withColumn("k_lo", F.when(F.col("k_val") < 10, "1").otherwise("0")).withColumn(
+        "k_hi", F.when(F.col("k_val") >= 90, "1").otherwise("0")
+    )
+    return df.filter(~parse_ops.compile_rule_tree(rule)).select(
+        "event_id", "event_type", "k_val"
+    )
+
+
+@register(
+    "p_first_matching_key",
+    """
+    SELECT event_id,
+           COALESCE(json_extract_string(props, '$.missing'),
+                    json_extract_string(props, '$.k'),
+                    'none') AS first_key
+    FROM events
+    """,
+    doc="P9 — priority-list first-matching-key extraction "
+        "(FirstMatchingKeyFinder.java:11-44) as a coalesce chain.",
+)
+def p_first_matching_key(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing"),
+            F.get_json_object("props", "$.k"),
+            F.lit("none"),
+        ).alias("first_key"),
+    )
+
+
+@register(
+    "p_grok_extract",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '^(\w+)', 1) AS first_word,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+    doc="P10 — grok/regex field extraction, JVM regexp_extract fast path "
+        "(HttpFieldsGenerator.java:120-636 analog).",
+)
+def p_grok_extract(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+
+
+@register(
+    "p_tenant_resolution",
+    """
+    SELECT CAST(user_id % 5 AS BIGINT) AS tenant_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="P2 — tenant resolution + keying (TenantIdHandler.java:29-81; "
+        "re-key P17).",
+)
+def p_tenant_resolution(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.withColumn("tenant_id", (F.col("user_id") % 5).cast("long"))
+        .groupBy("tenant_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP stage (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = f"""
+    WITH e AS ({_EVENTS_SQL}),
+    flagged AS (
+      SELECT user_id, event_id, ts_ms,
+             CASE WHEN lag(ts_ms) OVER w IS NULL
+                       OR ts_ms - lag(ts_ms) OVER w > {grp.SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts_ms,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM flagged
+    )
+"""
+
+
+@register(
+    "g_sessionize",
+    _SESSION_SQL
+    + """
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts_ms) AS session_start_ms,
+           max(ts_ms) AS session_end_ms
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+    doc="G1/G2 — 30min-gap session-window trace assembly + emit "
+        "(RawSpansProcessor.java:186-247, TraceEmitPunctuator.java:116-196).",
+)
+def g_sessionize(spark, sf_dir):
+    df = grp.sessionize(_events(spark, sf_dir))
+    out = grp.session_summary(df)
+    return out.withColumn("session_idx", F.col("session_idx").cast("long")).withColumn(
+        "n_events", F.col("n_events").cast("long")
+    )
+
+
+@register(
+    "g_row_cap",
+    f"""
+    WITH e AS ({_EVENTS_SQL})
+    SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+      FROM e
+    ) WHERE rn <= 5
+    """,
+    doc="G3 — per-group row cap / truncation "
+        "(RawSpansProcessor.java:347-388).",
+)
+def g_row_cap(spark, sf_dir):
+    df = grp.cap_rows_per_group(
+        _events(spark, sf_dir), cap=5, group_cols=["user_id"], order_cols=["ts_ms", "event_id"]
+    )
+    return df.select("event_id", "user_id", F.col("rn").cast("long").alias("rn"))
+
+
+@register(
+    "g_distinct_collect",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY user_id
+    """,
+    doc="G2 — span-id dedup semantics: distinct members per group "
+        "(TraceEmitPunctuator.java:123-150 collect_set analog).",
+)
+def g_distinct_collect(spark, sf_dir):
+    return grp.group_distinct_stats(load_table(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+@register(
+    "g_peer_correlation",
+    f"""
+    WITH e AS ({_EVENTS_SQL}),
+    clients AS (
+      SELECT user_id, min(k_val) AS peer_key FROM e WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, clients.peer_key
+    FROM e JOIN clients ON e.user_id = clients.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="G4 — peer-identity correlation: derived lookup from one record "
+        "class joined onto another (RawSpansProcessor.java:249-333).",
+)
+def g_peer_correlation(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    clients = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("k_val").alias("peer_key"))
+    )
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clients), on="user_id")
+        .select("event_id", "user_id", "peer_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ENRICH stage (SURVEY.md §2.4) — broadcast-join lookups + classifications
+# ---------------------------------------------------------------------------
+
+@register(
+    "e_broadcast_endpoint",
+    """
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="E5 — endpoint/entity lookup as broadcast hash join "
+        "(EndpointEnricher.java:55-130; dim table ≪ fact).",
+)
+def e_broadcast_endpoint(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "e_multihop_dims",
+    """
+    SELECT r.r_name AS region_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+    doc="E4/E12 — multi-hop entity enrichment chain as cascaded broadcast "
+        "joins (DefaultServiceEntityEnricher + EntitySpanEnricher analogs); "
+        "Catalyst broadcasts every dim, fact scanned once.",
+)
+def e_multihop_dims(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "e_status_map",
+    """
+    SELECT event_id,
+           CASE event_type
+             WHEN 'error' THEN 'FAIL'
+             WHEN 'purchase' THEN 'SUCCESS'
+             WHEN 'signup' THEN 'SUCCESS'
+             WHEN 'click' THEN 'NEUTRAL'
+             WHEN 'view' THEN 'NEUTRAL'
+             ELSE 'UNKNOWN' END AS status_state
+    FROM events
+    """,
+    doc="E2 — status-code → state/message mapping via broadcast code table "
+        "(ApiStatusEnricher.java:38-133, HttpCodeMapper analog).",
+)
+def e_status_map(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(k, v) for k, v in vw.STATUS_STATE.items()], ["event_type", "status_state"]
+    )
+    return (
+        df.join(F.broadcast(dim), on="event_type", how="left")
+        .withColumn("status_state", F.coalesce("status_state", F.lit("UNKNOWN")))
+        .select("event_id", "status_state")
+    )
+
+
+@register(
+    "e_span_type",
+    """
+    SELECT event_id,
+           CASE event_type
+             WHEN 'signup' THEN 'ENTRY' WHEN 'purchase' THEN 'ENTRY'
+             WHEN 'click' THEN 'EXIT' WHEN 'view' THEN 'EXIT'
+             ELSE 'UNSPECIFIED' END AS kind,
+           CASE WHEN value >= 100 THEN 'HIGH' ELSE 'LOW' END AS tier
+    FROM events
+    """,
+    doc="E1 — ENTRY/EXIT/UNSPECIFIED classification cascade "
+        "(SpanTypeAttributeEnricher.java:88-179) as a codegen'd when-ladder.",
+)
+def e_span_type(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        vw._case("event_type", vw.SPAN_KIND, "UNSPECIFIED").alias("kind"),
+        F.when(F.col("value") >= 100, "HIGH").otherwise("LOW").alias("tier"),
+    )
+
+
+@register(
+    "e_error_counts",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
+           CAST(count(*) AS BIGINT) AS total_events,
+           CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS has_error
+    FROM events GROUP BY user_id
+    """,
+    doc="E7 — per-span error flags rolled up to trace-level totals "
+        "(ErrorsAndExceptionsEnricher.java:44-184).",
+)
+def e_error_counts(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return df.groupBy("user_id").agg(
+        F.sum(is_err).cast("long").alias("error_events"),
+        F.count(F.lit(1)).alias("total_events"),
+        F.max(is_err).cast("long").alias("has_error"),
+    )
+
+
+@register(
+    "e_transaction_name",
+    f"""
+    WITH e AS ({_EVENTS_SQL})
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS transaction_name
+    FROM e
+    """,
+    doc="E6/E14 — trace attr from earliest member: transaction name / head "
+        "event (TransactionNameEnricher.java:24-49, TraceStatsEnricher).",
+)
+def e_transaction_name(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("transaction_name", F.first("event_type").over(w))
+        .select("user_id", "transaction_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUTE stage (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+_ROUTE_RULES = [
+    ("signup", "sink-0"), ("purchase", "sink-0"),
+    ("click", "sink-1"), ("view", "sink-1"),
+    ("error", "sink-dlq"),
+]
+
+_ROUTE_CASE = (
+    "CASE event_type WHEN 'signup' THEN 'sink-0' WHEN 'purchase' THEN 'sink-0' "
+    "WHEN 'click' THEN 'sink-1' WHEN 'view' THEN 'sink-1' "
+    "WHEN 'error' THEN 'sink-dlq' ELSE 'sink-default' END"
+)
+
+
+@register(
+    "r_route_fanout",
+    f"""
+    SELECT {_ROUTE_CASE} AS sink,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="ROUTE — rule-table fan-out to sinks + per-sink aggregate counts "
+        "(the north rule's routed-row invariant; view-gen per-topic configs).",
+)
+def r_route_fanout(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").withColumnRenamed("event_type", "source")
+    rules = spark.createDataFrame(_ROUTE_RULES, ["source", "sink"])
+    routed = route_ops.route(df, rules)
+    return routed.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "r_bypass_branch",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'bypass' ELSE 'main' END AS branch,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+    """,
+    doc="P15 — bypass-predicate stream branch (ByPassPredicate.java:28-44, "
+        "SpanNormalizer.java:66-70): two lineage branches over one DF.",
+)
+def r_bypass_branch(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    pred = F.col("event_type") == "error"
+    bypass = df.filter(pred).withColumn("branch", F.lit("bypass"))
+    main = df.filter(~pred).withColumn("branch", F.lit("main"))
+    return bypass.unionByName(main).groupBy("branch").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# VIEWS (SURVEY.md §2.5 V1-V6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "v_span_event_view",
+    f"""
+    SELECT event_id, user_id, ts_ms, event_type,
+           CASE event_type WHEN 'signup' THEN 'ENTRY' WHEN 'purchase' THEN 'ENTRY'
+                WHEN 'click' THEN 'EXIT' WHEN 'view' THEN 'EXIT'
+                ELSE 'UNSPECIFIED' END AS kind,
+           CASE event_type WHEN 'error' THEN 'FAIL' WHEN 'purchase' THEN 'SUCCESS'
+                WHEN 'signup' THEN 'SUCCESS' WHEN 'click' THEN 'NEUTRAL'
+                WHEN 'view' THEN 'NEUTRAL' ELSE 'UNKNOWN' END AS status_state,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           round(value, 2) AS value_r
+    FROM ({_EVENTS_SQL.replace("AS k_val", "AS k_val_raw")})
+    """,
+    doc="V1 — SpanEventView: per-record enriched projection "
+        "(SpanEventViewGenerator.java:51-327).",
+)
+def v_span_event_view(spark, sf_dir):
+    return vw.span_event_view(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "v_raw_trace_view",
+    f"""
+    WITH e AS ({_EVENTS_SQL})
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           max(ts_ms) - min(ts_ms) AS duration_ms,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY user_id
+    """,
+    doc="V3 — RawTraceView: one row per trace-analog "
+        "(RawTraceViewGenerator.java:26-82).",
+)
+def v_raw_trace_view(spark, sf_dir):
+    return vw.raw_trace_view(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "v_service_call_view",
+    f"""
+    WITH e AS ({_EVENTS_SQL})
+    SELECT user_id,
+           event_id AS src_event_id,
+           lead(event_id) OVER w AS dst_event_id,
+           event_type AS caller,
+           lead(event_type) OVER w AS callee,
+           lead(ts_ms) OVER w - ts_ms AS latency_ms
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    QUALIFY dst_event_id IS NOT NULL
+    """,
+    doc="V4 — ServiceCallView caller/callee edges: exit→entry pairing as "
+        "lead() adjacency (ServiceCallViewGenerator.java:95-150).",
+)
+def v_service_call_view(spark, sf_dir):
+    return vw.service_call_view(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "v_service_call_rollup",
+    f"""
+    WITH e AS ({_EVENTS_SQL}),
+    edges AS (
+      SELECT user_id, event_type AS caller,
+             lead(event_type) OVER w AS callee,
+             lead(ts_ms) OVER w - ts_ms AS latency_ms
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      QUALIFY callee IS NOT NULL
+    )
+    SELECT caller, callee, CAST(count(*) AS BIGINT) AS n_calls,
+           floor(avg(latency_ms) * 100 + 0.5) / 100 AS avg_latency_ms
+    FROM edges GROUP BY caller, callee
+    """,
+    doc="V4 rollup — caller→callee counts + mean latency.",
+)
+def v_service_call_rollup(spark, sf_dir):
+    return vw.service_call_rollup(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "v_log_event_view",
+    f"""
+    SELECT event_id, user_id, ts_ms AS timestamp_ms,
+           COALESCE(json_extract_string(props, '$.message'),
+                    json_extract_string(props, '$.k'), '<empty>') AS summary,
+           CAST(length(props) AS INTEGER) AS attr_bytes
+    FROM ({_EVENTS_SQL})
+    """,
+    doc="V6 — LogEventView: summary from priority attr keys + serialized "
+        "attributes (LogEventViewGenerator.java:43-111).",
+)
+def v_log_event_view(spark, sf_dir):
+    return vw.log_event_view(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# AGGREGATE stage (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_windowed_counts",
+    f"""
+    WITH e AS ({_EVENTS_SQL})
+    SELECT ts_ms - ts_ms % 3600000 AS bucket_start_ms, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY 1, 2
+    """,
+    doc="A1 — windowed group-count: time-bucketed (bucket, attrs) counts "
+        "(MetricsProcessor.java:75-136; 1h buckets here).",
+)
+def a_windowed_counts(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    bucket = (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("bucket_start_ms")
+    return e.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "a_histogram",
+    """
+    SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1, 2
+    """,
+    doc="A5 — value histogram via width-bucket binning (token-length "
+        "histogram analog of the north rule).",
+)
+def a_histogram(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "a_percentiles",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+           max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+           max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+    FROM ranked GROUP BY event_type
+    """,
+    doc="A5 — per-group distribution summary (TraceEmitPunctuator "
+        "spans-per-trace distribution analog) as EXACT discrete quantiles: "
+        "rank ceil(p·n) selected via window rank — returns a real data "
+        "element, so the oracle matches bit-for-bit. percentile_approx is "
+        "the 100 TB path (mergeable sketch, one shuffle, no full sort); "
+        "this exact form sorts within group partitions only.",
+)
+def a_percentiles(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = df.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    def at(p):
+        return F.max(
+            F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("value"))
+        )
+    return ranked.groupBy("event_type").agg(
+        at(0.5).alias("p50"), at(0.9).alias("p90"), at(0.99).alias("p99")
+    )
+
+
+@register(
+    "a_operational_counters",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS received,
+           CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS low_value,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+    FROM events GROUP BY event_type
+    """,
+    doc="A6 — per-tenant operational counters as conditional sums in one "
+        "pass (JaegerSpanPreProcessor.java:68-96 counter instrumentation).",
+)
+def a_operational_counters(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("received"),
+        F.sum(F.when(F.col("value") < 10, 1).otherwise(0)).cast("long").alias("low_value"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("errors"),
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
+           floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shape pricing summary — the classic partial-agg shuffle "
+        "benchmark; exercises map-side combine at scale.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        round_half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
+        round_half_up(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_topk_orders",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Top-k by aggregate with deterministic tiebreak — "
+        "TakeOrderedAndProject physical op (no global sort).",
+)
+def q_topk_orders(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / text / similarity (driver mandate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "d_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup via content-hash groupBy (keep = min doc_id).",
+)
+def d_exact_dedup(spark, sf_dir):
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "d_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+    FROM documents
+    """,
+    doc="Token counting: whitespace words + BPE-ish chars/4 estimate.",
+)
+def d_token_count(spark, sf_dir):
+    df = txt.token_counts(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens_est").cast("long").alias("n_tokens_est"),
+    )
+
+
+_STOPS_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in stops) + "]"
+    for lang, stops in txt.LANG_STOPWORDS.items()
+}
+
+
+@register(
+    "d_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(
+                 f"len(list_filter(string_split(text, ' '), w -> list_contains({_STOPS_SQL[lang]}, w))) AS s_{lang}"
+                 for lang in sorted(txt.LANG_STOPWORDS)
+             )}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+    doc="Language-ID heuristic: per-language stopword votes, argmax with "
+        "deterministic tiebreak (sorted language order, later wins on "
+        "strictly greater).",
+)
+def d_lang_id(spark, sf_dir):
+    df = txt.language_id(load_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang", "pred_lang")
+
+
+@register(
+    "d_quality_score",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             floor(list_sum(list_transform(ws, x -> length(x))) * 1.0 / greatest(len(ws), 1) * 100 + 0.5) / 100 AS mean_word_len,
+             floor(len(list_filter(ws, x -> list_contains({_STOPS_SQL['en']}, x))) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS stopword_ratio
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, stopword_ratio,
+           (n_words >= 10 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS quality_keep
+    FROM feat
+    """,
+    doc="Quality scoring: word count, mean word length, stopword ratio, "
+        "composite keep flag (Gopher-rules shape).",
+)
+def d_quality_score(spark, sf_dir):
+    df = txt.quality_score(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "stopword_ratio",
+        "quality_keep",
+    )
+
+
+@register(
+    "d_fingerprint",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS doc_fp
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 of normalized (lower, ws-collapsed) text.",
+)
+def d_fingerprint(spark, sf_dir):
+    return txt.fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "doc_fp")
+
+
+@register(
+    "d_ngram_profile",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 2, 0) + 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS BIGINT) AS n_shingles
+    FROM w
+    """,
+    doc="n-gram shingle profile: distinct word-3-gram count per doc (the "
+        "shared primitive under MinHash/Jaccard dedup).",
+)
+def d_ngram_profile(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", F.size(dd.shingles()).cast("long").alias("n_shingles"))
+
+
+@register(
+    "d_ngram_jaccard",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             floor(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+                   (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+                   * 10000 + 0.5) / 10000 AS jaccard
+      FROM w a JOIN w b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.05
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs within (lang, source) blocks — "
+        "blocked self-join, never all-pairs.",
+)
+def d_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), block_cols=["lang", "source"], threshold=0.05
+    )
+
+
+@register(
+    "d_minhash_lsh",
+    None,  # xxhash64-based signatures aren't reproducible in DuckDB
+    doc="MinHash+LSH near-dup pairs (64 perms, 16 bands) verified with "
+        "exact shingle Jaccard — rows-only check; the exact-Jaccard oracle "
+        "counterpart is d_ngram_jaccard.",
+)
+def d_minhash_lsh(spark, sf_dir):
+    return dd.minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register(
+    "d_simhash",
+    None,  # xxhash64 bit votes aren't reproducible in DuckDB
+    doc="64-bit SimHash fingerprints, JVM-side bit votes — rows-only check.",
+)
+def d_simhash(spark, sf_dir):
+    return dd.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "s_knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.qv, c.cv) /
+             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos_sim
+      FROM c CROSS JOIN q
+      WHERE c.neighbor_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 per query vector (queries broadcast, "
+        "two-phase top-k) — the exact ANN baseline.",
+)
+def s_knn_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = sim.cosine_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "s_ann_lsh",
+    None,  # seeded-numpy hyperplanes aren't reproducible in DuckDB
+    doc="LSH-bucketed approximate top-k (random hyperplanes via one numpy "
+        "matmul per Arrow batch) — the 100 TB scale path; rows-only check.",
+)
+def s_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.ann_topk(emb, queries, dim=64, k=5, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# public accessors for __spark_entry__
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

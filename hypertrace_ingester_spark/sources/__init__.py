@@ -1,0 +1,30 @@
+"""Sources — table loading (SURVEY.md §2.1 S1/S2 analogs).
+
+The reference reads Kafka topics with registry serdes
+(span-normalizer/.../SpanNormalizer.java:55-61); here the sources are
+columnar tables (parquet locally, Iceberg in production). Explicit schemas
+where they matter; otherwise parquet's embedded schema is authoritative,
+and Catalyst pushes column pruning + predicates into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. On a cluster this becomes
+    ``spark.read.format("iceberg").load(...)`` — same call shape, and the
+    downstream plan (pruning/pushdown) is identical."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

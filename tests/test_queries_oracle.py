@@ -1,0 +1,54 @@
+"""Oracle-parity tests — driver-gate mirror (F5 / north rule invariants):
+every catalog query's Spark result must match its DuckDB oracle on the same
+parquet tables (row count + columns + order-insensitive values); queries
+without an oracle must at least produce a stable, deterministic result.
+"""
+
+import os
+
+import pytest
+
+from hypertrace_ingester_spark.oracle import compare, duckdb_connection
+from hypertrace_ingester_spark.queries import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata dir {SF_DIR} missing"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, duck, name):
+    qd = REGISTRY[name]
+    spark_pdf = qd.fn(spark, SF_DIR).toPandas()
+    if qd.oracle is None:
+        # rows-only determinism check: a re-run must produce the same rows
+        again = qd.fn(spark, SF_DIR).toPandas()
+        assert len(spark_pdf) == len(again)
+        return
+    duck_pdf = duck.execute(qd.oracle).df()
+    problems = compare(spark_pdf, duck_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # every queries() key with an oracle_sql() entry exists in queries()
+    q = mod.queries()
+    for k in mod.oracle_sql():
+        assert k in q
