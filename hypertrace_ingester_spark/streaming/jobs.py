@@ -1,0 +1,167 @@
+"""Structured Streaming face of the pipeline (SURVEY.md §2.3 streaming path).
+
+The reference is a Kafka Streams app: record-at-a-time processors with
+RocksDB state, session windows via hand-rolled punctuators
+(raw-spans-grouper/.../RawSpansProcessor.java:186-247,
+TraceEmitPunctuator.java:94-196), and quiesce-wait metric emission
+(MetricsGenerator). The Spark-native equivalents:
+
+- session-window trace assembly  → ``F.session_window(ts, gap)`` aggregation
+  with a watermark (state store + window close handled by Spark);
+- metric windows + emit wait      → tumbling ``F.window`` + watermark in
+  append mode (emission happens when the watermark passes — the exact
+  analog of the reference's 15s emit wait);
+- per-trace custom state          → ``applyInPandasWithState`` (exposed via
+  :func:`sessionize_with_state` for semantics Spark's built-in session
+  window can't express, e.g. per-group span caps *while* the window is
+  open).
+
+Sources/sinks are pluggable: in production ``readStream.format("kafka")`` /
+``writeStream.toTable(iceberg)``; tests use the ``rate`` source and memory
+sink. All transformations are identical between the batch and streaming
+faces — the DataFrame lineage IS the portability layer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP = "30 minutes"
+METRIC_WINDOW = "5 seconds"
+WATERMARK_DELAY = "15 seconds"  # metric.emit.waitTimeMs analog (conf:15)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = SESSION_GAP,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """G1 streaming session assembly: one output row per closed session.
+
+    ``session_window`` keeps per-key state and extends the window on every
+    event within ``gap`` — precisely the reference's inactivity-gap
+    semantics; the watermark is the punctuator: windows emit (append mode)
+    once event time passes session end + gap + watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            group_col,
+            F.col("session_window.start").alias("window_start"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+def streaming_metrics(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = METRIC_WINDOW,
+    watermark: str = WATERMARK_DELAY,
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """A1/A2 streaming windowed group-count: tumbling window + watermark
+    (MetricsProcessor.java:75-136 + MetricEmitPunctuator emit wait)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("num_rows"))
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            *group_cols,
+            "num_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: session assembly WITH per-group caps (G1+G3)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = "n_events bigint, start_ms bigint, end_ms bigint"
+_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, session_start_ms bigint, "
+    "session_end_ms bigint, truncated boolean"
+)
+
+
+def _capped_session_fn(max_events: int, gap_ms: int):
+    """applyInPandasWithState function: buffer count/min/max per key; emit on
+    inactivity timeout; cap event count per session (truncation flag) — the
+    G3 per-tenant cap the built-in session_window cannot express."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, start_ms, end_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [min(n, max_events)],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [end_ms],
+                    "truncated": [n > max_events],
+                }
+            )
+            return
+        n, start_ms, end_ms = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = pdf["ts_ms"]
+            n += len(pdf)
+            start_ms = int(ts.min()) if start_ms is None else min(start_ms, int(ts.min()))
+            end_ms = int(ts.max()) if end_ms is None else max(end_ms, int(ts.max()))
+        state.update((n, start_ms, end_ms))
+        state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "session_start_ms": pd.Series([], dtype="int64"),
+                "session_end_ms": pd.Series([], dtype="int64"),
+                "truncated": pd.Series([], dtype="bool"),
+            }
+        )
+
+    return fn
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    max_events: int = 1000,
+    gap_ms: int = 30 * 60 * 1000,
+    group_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session assembly with per-group caps via
+    ``applyInPandasWithState`` — RawSpansProcessor's span store + cap +
+    TraceEmitPunctuator collapsed into one Arrow-vectorized stateful op.
+
+    Requires a streaming DataFrame with columns (user_id, ts_ms); update
+    output mode. The batch equivalent is group.sessionize + cap_rows_per_group.
+    """
+    return events.groupBy(group_col).applyInPandasWithState(
+        _capped_session_fn(max_events, gap_ms),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
