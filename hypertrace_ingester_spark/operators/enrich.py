@@ -136,10 +136,13 @@ def error_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
 
 @DEFAULT_REGISTRY.register("token_stats")
 def token_stats_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
-    """Token-domain enrichment (graft-specific): length bucket + content
-    fingerprint. Buckets per FIXTURES.md F4 (1-16, 17-64, 65-256, 257-1024,
-    1025-4096); fingerprint = xxhash64 of the token array (stable, JVM-side),
-    used by exact-dedup and routing diagnostics."""
+    """Token-domain enrichment (graft-specific): length bucket per
+    FIXTURES.md F4 (1-16, 17-64, 65-256, 257-1024, 1025-4096).
+
+    NOTE: the content fingerprint (xxhash64 over the token array) is NOT
+    computed here — hashing the full payload per row costs more than the
+    rest of the parse+enrich stage combined (interpreted array-hash path);
+    dedup flows add it on demand via :func:`token_fingerprint`."""
     bucket = (
         F.when(F.col("n_tok") <= 16, "1-16")
         .when(F.col("n_tok") <= 64, "17-64")
@@ -147,9 +150,14 @@ def token_stats_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
         .when(F.col("n_tok") <= 1024, "257-1024")
         .otherwise("1025-4096")
     )
-    return df.withColumn("tok_bucket", bucket).withColumn(
-        "tok_fingerprint", F.xxhash64(F.col("tokens"))
-    )
+    return df.withColumn("tok_bucket", bucket)
+
+
+def token_fingerprint(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Content fingerprint for exact dedup over token sequences: xxhash64 of
+    the token array (stable, JVM-side). Kept OUT of the hot pipeline path —
+    see token_stats_enricher note."""
+    return df.withColumn("tok_fingerprint", F.xxhash64(F.col(tokens_col)))
 
 
 @DEFAULT_REGISTRY.register("lang", depends_on=("endpoint",))

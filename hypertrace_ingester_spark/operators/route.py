@@ -41,15 +41,31 @@ def salted_repartition(df: DataFrame, key: str = "sink",
     return df.repartition(F.col(key), F.col("_salt")).drop("_salt")
 
 
-def fan_out(routed: DataFrame, out_dir: str, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> None:
+def fan_out(routed: DataFrame, out_dir: str,
+            salt_buckets: int | None = None) -> None:
     """Write every sink in one pass: parquet partitioned by sink.
 
     Production target is Iceberg (``writeTo(tbl).append()`` with
     write.distribution-mode=hash); parquet ``partitionBy`` is the local-sandbox
-    stand-in with identical layout semantics (one directory per sink)."""
-    df = salted_repartition(routed, "sink", salt_buckets)
+    stand-in with identical layout semantics (one directory per sink).
+
+    ``salt_buckets=None`` (default) streams each task straight into its
+    per-sink files — zero shuffle, the fast path when file count
+    (tasks × sinks) is acceptable. An int clusters output by (sink, salt)
+    first: one full-payload shuffle, but few large files per sink and
+    hot-sink skew spread across ``salt_buckets`` tasks — use on clusters
+    where downstream readers want big files."""
+    df = routed if salt_buckets is None else salted_repartition(routed, "sink", salt_buckets)
     # tokens kept verbatim — per-row token-array equality is the invariant.
-    df.write.mode("overwrite").partitionBy("sink").parquet(out_dir)
+    # Dictionary encoding is disabled for the token payload column: random
+    # token ids never fit a dictionary, so the encoder always overflows and
+    # falls back — pure CPU waste on the widest column (~2x write cost).
+    (
+        df.write.mode("overwrite")
+        .option("parquet.enable.dictionary#tokens", "false")
+        .partitionBy("sink")
+        .parquet(out_dir)
+    )
 
 
 def sink_names(route_rules: DataFrame) -> list[str]:

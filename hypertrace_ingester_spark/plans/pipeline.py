@@ -31,9 +31,18 @@ from ..operators import route as route_ops
 class PipelineConfig:
     out_dir: str
     drop_criteria: parse_ops.DropCriteria = field(default_factory=lambda: parse_ops.DEFAULT_DROP)
-    salt_buckets: int = route_ops.DEFAULT_SALT_BUCKETS
+    # None → no pre-write shuffle: each task streams straight into its
+    # per-sink files (fastest; file count = tasks × sinks). Set an int to
+    # hash-cluster output by (sink, salt) — fewer/larger files per sink at
+    # the cost of shuffling the full payload (Iceberg write.distribution-mode
+    # =hash equivalent); the salt spreads hot sinks (src-0 ≈ 40%).
+    salt_buckets: int | None = None
     metric_window_ms: int = agg_ops.METRIC_WINDOW_MS
     checkpoint_parse: bool = False  # stage-boundary checkpoint for resume
+    # persist the parse output when the upstream lineage is expensive to
+    # recompute (e.g. a generator); False when input is a columnar table —
+    # re-scanning with column pruning beats caching the full token payload.
+    cache_parse: bool = False
     use_pandas_grok: bool = False
 
 
@@ -106,24 +115,31 @@ def run_pipeline(
         if cfg.checkpoint_parse:
             parsed.write.mode("overwrite").parquet(parse_ckpt)
             parsed = spark.read.parquet(parse_ckpt)
-        else:
-            # the parse output feeds 3 consumers (counters, kept branch,
-            # bypass branch); without the checkpoint, persist it so the
-            # upstream lineage (potentially an expensive generator/scan)
-            # materializes exactly once — spill-safe at scale.
+        elif cfg.cache_parse:
+            # persist only when the upstream lineage is expensive; for
+            # columnar-table input the downstream consumers each re-scan
+            # with column pruning, which is cheaper than caching tokens.
             parsed = parsed.persist()
             cached_parse = parsed
 
     counters = agg_ops.operational_counters(parsed)
-    kept, bypass = parse_ops.split_parsed(parsed)
 
-    # ---- ENRICH ---------------------------------------------------------
-    enriched = enrich_ops.enrich(kept, ctx)
-    # bypass rows skip enrichment but still reach routing
-    # (RawSpanToStructuredTraceTransformer.java:28-44 analog): stamp the
-    # enrichment columns as NULL/defaults and union by name.
-    bypass_enriched = enrich_ops.enrich(bypass, enrich_ops.EnrichContext())
-    enriched_all = enriched.unionByName(bypass_enriched, allowMissingColumns=True)
+    # ---- ENRICH (single pass; no branch-union double scan) --------------
+    # The reference branches bypass spans around enrichment
+    # (SpanNormalizer.java:66-70). Expressed as two filter+union branches
+    # that costs a second scan of the input; instead enrich ALL surviving
+    # rows in one pass and null out the dim-lookup columns for bypass rows
+    # afterwards — identical result, half the scans.
+    alive = parsed.filter(F.col("has_tenant") & ~F.col("is_dropped")).select(
+        *parse_ops.PARSE_OUTPUT_COLS
+    )
+    enriched = enrich_ops.enrich(alive, ctx)
+    dim_cols = [c for c in
+                ("api_id", "api_name", "service_id", "service_name", "status_message")
+                if c in enriched.columns]
+    enriched_all = enriched.withColumns(
+        {c: F.when(~F.col("is_bypass"), F.col(c)) for c in dim_cols}
+    )
 
     # ---- ROUTE ----------------------------------------------------------
     routed = route_ops.route(enriched_all, route_rules)
@@ -134,14 +150,20 @@ def run_pipeline(
     routed_back = spark.read.schema(routed.schema).parquet(routed_dir)
 
     # ---- AGGREGATE ------------------------------------------------------
+    # two pruned scans of the routed parquet (neither touches tokens)
     metrics = agg_ops.sink_metrics(routed_back, cfg.metric_window_ms)
     histogram = agg_ops.token_histogram(routed_back)
-    metrics.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "metrics"))
+    metrics_dir = os.path.join(cfg.out_dir, "metrics")
+    metrics.write.mode("overwrite").parquet(metrics_dir)
     histogram.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "histogram"))
 
     # ---- manifest: per-sink counts + per-tenant counters + lineage ------
+    # sink counts roll up from the (tiny) metrics output instead of
+    # re-scanning the routed data
     sink_counts = {
-        r["sink"]: r["count"] for r in routed_back.groupBy("sink").count().collect()
+        r["sink"]: r["n"]
+        for r in spark.read.parquet(metrics_dir)
+        .groupBy("sink").agg(F.sum("num_rows").alias("n")).collect()
     }
     tenant_counters = [r.asDict() for r in counters.collect()]
     manifest["stages"]["parse"] = {"complete": True, "checkpoint": cfg.checkpoint_parse}

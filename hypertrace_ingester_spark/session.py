@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The parse stage's regex-heavy projections + 3 chained broadcast
+        # joins generate whole-stage methods past the JVM JIT's ~8KB
+        # compile limit; the default 65535 lets those run in the BYTECODE
+        # INTERPRETER (measured 30x slower carrying a wide token payload).
+        # 8000 makes Spark fall back to its vectorized-interpreted path for
+        # oversized stages only — small stages keep codegen.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
