@@ -1016,6 +1016,116 @@ def s_ann_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Additional operator-parity queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_grok_pandas",
+    r"""
+    SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_word
+    FROM documents
+    """,
+    doc="P10 pandas path — the Arrow-batched mapInPandas grok variant "
+        "(grok_extract_pandas), proven equal to the JVM regexp path; for "
+        "patterns needing Python-only regex features.",
+)
+def p_grok_pandas(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = parse_ops.grok_extract_pandas(
+        df, line_col="text", fields=[("first_word", r"^(\w+)", None)]
+    )
+    return out.select("doc_id", "first_word")
+
+
+@register(
+    "a_metric_key",
+    f"""
+    WITH e AS ({_EVENTS_SQL})
+    SELECT md5(concat_ws('|', 'num_calls', event_type,
+                         CAST(ts_ms - ts_ms % 3600000 AS VARCHAR))) AS metric_key,
+           CAST(count(*) AS BIGINT) AS value
+    FROM e GROUP BY 1
+    """,
+    doc="A1 key generation — MetricIdentity = hash(metric name + sorted "
+        "attr tuple) (MetricsProcessor.java:129-136 uuid5 analog as md5).",
+)
+def a_metric_key(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    bucket = (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).cast("string")
+    key = F.md5(F.concat_ws("|", F.lit("num_calls"), F.col("event_type"), bucket))
+    return e.groupBy(key.alias("metric_key")).agg(F.count(F.lit(1)).alias("value"))
+
+
+@register(
+    "g_assemble_members",
+    f"""
+    WITH e AS ({_EVENTS_SQL})
+    SELECT user_id,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts_ms, event_id) AS member_ids,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+    FROM e GROUP BY user_id
+    """,
+    doc="G5 — StructuredTrace assembly: ordered member list + group-level "
+        "start/end (StructuredTraceBuilder analog, TraceEmitPunctuator.java"
+        ":156-158); sort_array(collect_list(struct)) gives deterministic "
+        "member order regardless of shuffle nondeterminism.",
+)
+def g_assemble_members(spark, sf_dir):
+    assembled = grp.assemble_groups(
+        _events(spark, sf_dir).select("user_id", "event_id", "ts_ms"),
+        group_cols=["user_id"],
+    )
+    return assembled.select(
+        "user_id",
+        F.concat_ws(
+            ",", F.transform(F.col("members"), lambda m: m["event_id"].cast("string"))
+        ).alias("member_ids"),
+        F.col("n_members").cast("long").alias("n_members"),
+        "start_ms",
+        "end_ms",
+    )
+
+
+@register(
+    "e_api_boundary",
+    _SESSION_SQL
+    + """
+    SELECT event_id, CAST(new_session = 1 AS BOOLEAN) AS is_api_entry
+    FROM flagged
+    """,
+    doc="E3 — API-boundary detection: a record is an API entry iff its "
+        "predecessor crosses the boundary (here: session head via lag; the "
+        "reference walks parent spans, ApiBoundaryTypeAttributeEnricher.java"
+        ":65-121).",
+)
+def e_api_boundary(spark, sf_dir):
+    df = grp.sessionize(_events(spark, sf_dir))
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    rn = F.row_number().over(Window.partitionBy("user_id", "session_idx").orderBy("ts_ms", "event_id"))
+    return df.select("event_id", (rn == 1).alias("is_api_entry"))
+
+
+@register(
+    "x_explode_words",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[CAST(i AS INTEGER)] AS word
+    FROM w, unnest(range(1, least(len(ws), 3) + 1)) AS t(i)
+    """,
+    doc="P16 — explode nested collections into per-element rows "
+        "(JaegerSpanToLogRecordsTransformer.java:55-107 span→logs fan-out); "
+        "posexplode keeps element ordinality.",
+)
+def x_explode_words(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 3)).alias("pos", "word"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors for __spark_entry__
 # ---------------------------------------------------------------------------
 
