@@ -170,3 +170,45 @@ def lang_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
 def enrich(df: DataFrame, ctx: EnrichContext,
            registry: EnrichmentRegistry = DEFAULT_REGISTRY) -> DataFrame:
     return registry.apply(df, ctx)
+
+
+def composite_dim(ctx: EnrichContext) -> DataFrame | None:
+    """Fuse the endpoint/service/status dims into ONE broadcast table keyed
+    by (tenant_id, operation, status_code).
+
+    Rationale: each broadcast join materializes the full row — with a wide
+    token payload, 3 chained joins copy the payload 3x. The dims join on
+    independent tiny keys, so their cross-product is still tiny (tenants x
+    operations x status codes ≈ hundreds of rows) and ONE join stamps every
+    enrichment column. Same columns, same values as the sequential
+    registry — asserted by tests/test_enrich.py.
+
+    Precondition: the endpoint dim covers the (tenant, operation) domain
+    (true for config-derived dims, which enumerate their operations). Rows
+    with an operation outside the dim get NO enrichment columns from the
+    fused join (the sequential registry would still stamp service columns);
+    use the registry path when dims are open-world."""
+    if ctx.endpoints is None or ctx.services is None or ctx.status_codes is None:
+        return None
+    eps = ctx.endpoints.select("tenant_id", "operation", "api_id", "api_name")
+    svc = ctx.services.select("tenant_id", "service_id", "service_name")
+    sc = ctx.status_codes.select(
+        F.col("code").alias("status_code"),
+        F.col("state").alias("status_state"),
+        F.col("message").alias("status_message"),
+    )
+    return eps.join(svc, on="tenant_id", how="outer").crossJoin(sc)
+
+
+def enrich_fused(df: DataFrame, ctx: EnrichContext) -> DataFrame:
+    """Payload-friendly enrichment: one composite broadcast join + the
+    non-join enrichers (error flag, token bucket, lang) as projections.
+    Falls back to the sequential registry when any dim is missing."""
+    dim = composite_dim(ctx)
+    if dim is None:
+        return enrich(df, ctx)
+    out = df.join(F.broadcast(dim), on=["tenant_id", "operation", "status_code"], how="left")
+    out = error_enricher(out, ctx)
+    out = token_stats_enricher(out, ctx)
+    out = lang_enricher(out, ctx)
+    return out

@@ -106,7 +106,11 @@ def run_pipeline(
     # ---- PARSE ----------------------------------------------------------
     parse_ckpt = os.path.join(cfg.out_dir, "_checkpoints", "parsed")
     cached_parse = None
-    if resume and manifest["stages"].get("parse", {}).get("complete"):
+    parse_state = manifest["stages"].get("parse", {})
+    if resume and parse_state.get("complete") and parse_state.get("checkpoint"):
+        # resume re-reads the checkpoint only if one was actually written;
+        # a complete-but-uncheckpointed parse stage is recomputed (cheap,
+        # deterministic) — the route/aggregate skips below still apply
         parsed = spark.read.parquet(parse_ckpt)
     else:
         parsed = parse_ops.parse_sequences(
@@ -133,7 +137,9 @@ def run_pipeline(
     alive = parsed.filter(F.col("has_tenant") & ~F.col("is_dropped")).select(
         *parse_ops.PARSE_OUTPUT_COLS
     )
-    enriched = enrich_ops.enrich(alive, ctx)
+    # fused path: ONE composite broadcast join instead of three — each
+    # chained join re-materializes the wide token payload
+    enriched = enrich_ops.enrich_fused(alive, ctx)
     dim_cols = [c for c in
                 ("api_id", "api_name", "service_id", "service_name", "status_message")
                 if c in enriched.columns]

@@ -1107,6 +1107,81 @@ def e_api_boundary(spark, sf_dir):
 
 
 @register(
+    "e_exit_calls",
+    f"""
+    WITH e AS ({_EVENTS_SQL}),
+    edges AS (
+      SELECT user_id, lead(event_type) OVER w AS callee
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      QUALIFY callee IS NOT NULL
+    ),
+    counts AS (
+      SELECT user_id, callee, count(*) AS cnt FROM edges GROUP BY user_id, callee
+    )
+    SELECT user_id,
+           string_agg(callee || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY callee) AS callee_counts,
+           CAST(sum(cnt) AS BIGINT) AS total_calls
+    FROM counts GROUP BY user_id
+    """,
+    doc="E13 — exit-call stats per api-node: callee-name→count map + total "
+        "(ExitCallsEnricher.java:29-139, map_from_entries(collect_list) "
+        "semantics; serialized sorted for the oracle).",
+)
+def e_exit_calls(spark, sf_dir):
+    edges = vw.service_call_view(load_table(spark, sf_dir, "events"))
+    counts = edges.groupBy("user_id", "callee").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("callee", "cnt"))),
+                lambda s: F.concat(s["callee"], F.lit(":"), s["cnt"].cast("string")),
+            ),
+        ).alias("callee_counts"),
+        F.sum("cnt").cast("long").alias("total_calls"),
+    )
+
+
+@register(
+    "e_backend_classify",
+    """
+    SELECT event_id,
+           CASE WHEN event_type IN ('click', 'view') THEN 'WEB'
+                WHEN event_type = 'purchase' THEN 'PAYMENT'
+                WHEN event_type = 'signup' THEN 'AUTH'
+                ELSE 'UNKNOWN' END AS backend_type,
+           md5(concat_ws(':',
+                CASE WHEN event_type IN ('click', 'view') THEN 'WEB'
+                     WHEN event_type = 'purchase' THEN 'PAYMENT'
+                     WHEN event_type = 'signup' THEN 'AUTH'
+                     ELSE 'UNKNOWN' END,
+                CAST(user_id % 10 AS VARCHAR))) AS backend_id
+    FROM events
+    """,
+    doc="E8 — backend-entity resolution: provider-chain type classification "
+        "+ deterministic identity hash instead of entity-service upsert "
+        "(AbstractBackendEntityEnricher.java:96-197; sha2(type,host,port) "
+        "identity per SURVEY §2.4).",
+)
+def e_backend_classify(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    btype = (
+        F.when(F.col("event_type").isin("click", "view"), "WEB")
+        .when(F.col("event_type") == "purchase", "PAYMENT")
+        .when(F.col("event_type") == "signup", "AUTH")
+        .otherwise("UNKNOWN")
+    )
+    return df.select(
+        "event_id",
+        btype.alias("backend_type"),
+        F.md5(F.concat_ws(":", btype, (F.col("user_id") % 10).cast("string"))).alias(
+            "backend_id"
+        ),
+    )
+
+
+@register(
     "x_explode_words",
     """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)

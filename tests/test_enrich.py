@@ -64,3 +64,30 @@ def test_joins_are_broadcast(enriched):
     plan = enriched._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fused_equals_sequential(spark, sequences):
+    """enrich_fused (one composite broadcast join) must produce the same
+    rows as the sequential registry on covered dims."""
+    from pyspark.sql import functions as F
+
+    from hypertrace_ingester_spark import datagen
+    from hypertrace_ingester_spark.operators import enrich as enrich_ops
+    from hypertrace_ingester_spark.operators import parse as parse_ops
+
+    ctx = enrich_ops.EnrichContext(
+        endpoints=datagen.endpoints_dim(spark),
+        services=datagen.services_dim(spark),
+        status_codes=datagen.status_codes_dim(spark),
+    )
+    parsed = parse_ops.parse_sequences(sequences)
+    alive = parsed.filter(F.col("has_tenant") & ~F.col("is_dropped")).select(
+        *parse_ops.PARSE_OUTPUT_COLS
+    )
+    seq_out = enrich_ops.enrich(alive, ctx)
+    fused_out = enrich_ops.enrich_fused(alive, ctx)
+    assert sorted(seq_out.columns) == sorted(fused_out.columns)
+    cols = sorted(c for c in seq_out.columns if c != "tokens")
+    a = seq_out.select(*cols).orderBy("doc_id").toPandas()
+    b = fused_out.select(*cols).orderBy("doc_id").toPandas()
+    assert a.equals(b)

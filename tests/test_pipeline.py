@@ -81,3 +81,22 @@ def test_manifest_is_valid_json(run):
     m = load_manifest(out)
     json.dumps(m)  # round-trips
     assert m["stages"]["aggregate"]["complete"]
+
+
+def test_resume_without_checkpoint(spark, sequences, tmp_path):
+    """Resume when parse was complete but NOT checkpointed: parse recomputes
+    (deterministic) and the run still succeeds with identical results."""
+    out = str(tmp_path / "nockpt")
+    first = run_pipeline(spark, sequences, PipelineConfig(out_dir=out))
+    resumed = run_pipeline(
+        spark, sequences, PipelineConfig(out_dir=out), resume=True
+    )
+    assert resumed["total_routed_rows"] == first["total_routed_rows"]
+    assert resumed["stages"]["route"]["sink_counts"] == first["stages"]["route"]["sink_counts"]
+
+
+def test_empty_input(spark, sequences, tmp_path):
+    out = str(tmp_path / "empty")
+    manifest = run_pipeline(spark, sequences.limit(0), PipelineConfig(out_dir=out))
+    assert manifest["total_routed_rows"] == 0
+    assert manifest["stages"]["route"]["sink_counts"] == {}
