@@ -1,12 +1,19 @@
 """Scaling-efficiency benchmark: the same pipeline job at two parallelism
-levels (local[8] = N, local[32] = 4N) over the SAME materialized input, per
-BASELINE.json's north rule (≥0.8 throughput scaling efficiency N→4N).
+levels over the SAME materialized input, per BASELINE.json's north rule
+(throughput scaling efficiency N→4N executors).
+
+Two modes:
+- threads:   local[N] vs local[4N] in one JVM;
+- executors: local-cluster[N,8,12g] — N separate executor JVMs × 8 cores,
+             the in-sandbox analog of an N-executor cluster.
 
 Each level runs in a fresh subprocess (own JVM — fair JIT state), does one
-untimed warmup run, then ``--reps`` measured runs; the median is reported.
-Results are written to BENCH/BASELINE.md.
+untimed warmup run, then ``--reps`` measured runs; median + min reported,
+plus a RESULT_JSON line. BENCH/BASELINE.md holds the curated results and
+the scaling analysis (hardware ceilings measured via microbenchmarks).
 
-Usage: python scripts/scaling_bench.py [--rows 1000000] [--reps 3]
+Usage: python scripts/scaling_bench.py [--rows 4000000] [--reps 3]
+       [--levels 8 32] [--mode threads|executors]
 """
 
 from __future__ import annotations
@@ -28,41 +35,55 @@ sys.path.insert(0, {repo!r})
 from hypertrace_ingester_spark.session import get_spark
 from hypertrace_ingester_spark.plans.pipeline import run_pipeline, PipelineConfig
 
-cores, input_dir, reps, scratch = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4]
-spark = get_spark(app_name=f"scaling_bench_{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(cores, 8))
+mode, n, input_dir, reps, scratch = sys.argv[1], int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), sys.argv[5]
+if mode == "executors":
+    # N separate executor JVMs x 8 cores — the in-sandbox analog of an
+    # N-executor cluster (own heap + GC per executor, shared host DRAM)
+    master, cores = f"local-cluster[{{n}},8,12288]", n * 8
+    extra = {{"spark.executor.memory": "12g", "spark.driver.memory": "8g",
+              "spark.executor.extraJavaOptions": "-XX:+UseParallelGC -Xmn4g"}}
+else:
+    master, cores = f"local[{{n}}]", n
+    extra = {{}}
+spark = get_spark(app_name=f"scaling_{{mode}}_{{n}}", master=master,
+                  shuffle_partitions=max(cores, 8), extra_conf=extra)
 seqs = spark.read.parquet(input_dir)
 times = []
 for i in range(reps + 1):  # rep 0 = untimed warmup
-    out = tempfile.mkdtemp(prefix=f"scale_{{cores}}_", dir=scratch)
+    out = tempfile.mkdtemp(prefix=f"scale_{{n}}_", dir=scratch)
     t0 = time.time()
     m = run_pipeline(spark, seqs, PipelineConfig(out_dir=out))
     dt = time.time() - t0
     shutil.rmtree(out, ignore_errors=True)
     if i > 0:
         times.append(dt)
-print("RESULT " + json.dumps({{"cores": cores, "times": times,
+print("RESULT " + json.dumps({{"n": n, "times": times,
                                "routed": m["total_routed_rows"]}}))
 """
 
 
-def run_level(cores: int, input_dir: str, reps: int) -> dict:
+def run_level(mode: str, n: int, input_dir: str, reps: int) -> dict:
     script = WORKER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), input_dir, str(reps), SCRATCH],
+        [sys.executable, "-c", script, mode, str(n), input_dir, str(reps), SCRATCH],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    raise RuntimeError(f"no RESULT from {mode}={n}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--mode", choices=["threads", "executors"], default="threads",
+                    help="threads: local[N]; executors: local-cluster[N,8,12g] "
+                         "(levels are executor counts, e.g. 1 4)")
+    ap.add_argument("--no-report", action="store_true",
+                    help="print results only; don't write BENCH/BASELINE.md")
     args = ap.parse_args()
 
     input_dir = os.path.join(SCRATCH, f"bench_seq_{args.rows}.parquet")
@@ -78,49 +99,23 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600)
 
     results = {}
-    for cores in args.levels:
-        r = run_level(cores, input_dir, args.reps)
+    for n in args.levels:
+        r = run_level(args.mode, n, input_dir, args.reps)
         r["median_sec"] = statistics.median(r["times"])
+        r["min_sec"] = min(r["times"])
         r["throughput"] = args.rows / r["median_sec"]
-        results[cores] = r
-        print(f"local[{cores}]: median {r['median_sec']:.1f}s "
+        results[n] = r
+        print(f"{args.mode}={n}: median {r['median_sec']:.1f}s min {r['min_sec']:.1f}s "
               f"({r['throughput']:.0f} seq/s), times={[round(t,1) for t in r['times']]}")
 
     n, n4 = args.levels
     speedup = results[n4]["throughput"] / results[n]["throughput"]
     efficiency = speedup / (n4 / n)
-    print(f"speedup {speedup:.2f}x over {n4//n}x cores -> scaling efficiency {efficiency:.2f}")
-
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH — pipeline throughput & scaling efficiency
-
-North rule: ≥0.8 throughput scaling efficiency between N and 4N executors,
-evidenced in-sandbox at two parallelism levels on the same input
-(BASELINE.json; a real two-size cluster is not available here).
-
-Workload: full parse→enrich→route→aggregate pipeline
-(`hypertrace_ingester_spark.plans.pipeline.run_pipeline`) over a
-{args.rows:,}-row synthetic tokenized-sequence parquet table (the
-deterministic generator in `datagen.py`; same input for both levels, on
-tmpfs to avoid sandbox disk-writeback noise). Per level: fresh JVM, one
-untimed warmup run, median of {args.reps} measured runs.
-
-| parallelism | median wall (s) | throughput (seq/s) | runs (s) |
-|---|---|---|---|
-| local[{n}] (N) | {results[n]['median_sec']:.1f} | {results[n]['throughput']:.0f} | {[round(t,1) for t in results[n]['times']]} |
-| local[{n4}] (4N) | {results[n4]['median_sec']:.1f} | {results[n4]['throughput']:.0f} | {[round(t,1) for t in results[n4]['times']]} |
-
-**Speedup {n}→{n4} cores: {speedup:.2f}× (ideal {n4//n}×) → scaling
-efficiency {efficiency:.2f}** {"(meets the ≥0.8 bar)" if efficiency >= 0.8 else "(BELOW the 0.8 bar)"}.
-
-Routed-row count identical at both levels: {results[n]['routed']:,} —
-parallelism never changes results (deterministic generator + declarative
-plan).
-
-Reproduce: `python scripts/scaling_bench.py --rows {args.rows} --reps {args.reps}`
-""")
-    print(f"wrote BENCH/BASELINE.md")
+    print(f"speedup {speedup:.2f}x over {n4//n}x {args.mode} -> scaling efficiency {efficiency:.2f}")
+    print("RESULT_JSON " + json.dumps({"mode": args.mode, "rows": args.rows,
+                                       "levels": args.levels,
+                                       "results": {str(k): v for k, v in results.items()},
+                                       "speedup": speedup, "efficiency": efficiency}))
 
 
 if __name__ == "__main__":
