@@ -1,0 +1,84 @@
+"""Unit tests for the smaller operator analogs: tag normalization (P3),
+tag allowlist filter (P4), rate limiting (P7), UA parsing (E10), sink
+bootstrap DDL (S5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hypertrace_ingester_spark.functions.ua import parse_user_agents
+from hypertrace_ingester_spark.operators import parse as parse_ops
+from hypertrace_ingester_spark.sources.sinks import create_sink_tables
+
+
+@pytest.fixture()
+def tagged(spark):
+    return spark.createDataFrame(
+        [
+            (1, {"Http.Method": "GET", "x-secret": "1", "grpc.code": "0"}),
+            (2, {"HTTP.METHOD": "POST", "keep.me": "y"}),
+        ],
+        "id int, attributes map<string,string>",
+    )
+
+
+def test_normalize_tags_lowercases_keys(spark, tagged):
+    out = parse_ops.normalize_tags(tagged).collect()
+    for row in out:
+        assert all(k == k.lower() for k in row["attributes"])
+    assert out[0]["attributes"]["http.method"] == "GET"
+
+
+def test_filter_tags_allowlist(spark, tagged):
+    out = parse_ops.filter_tags(
+        parse_ops.normalize_tags(tagged),
+        allowed_prefixes=["x-", "grpc."],
+        allowlist=["grpc.code"],
+    ).collect()
+    m = {r["id"]: r["attributes"] for r in out}
+    assert "x-secret" not in m[1]          # prefix-matched, not allowlisted
+    assert m[1]["grpc.code"] == "0"        # prefix-matched but allowlisted
+    assert m[1]["http.method"] == "GET"    # no prefix match → kept
+    assert m[2] == {"http.method": "POST", "keep.me": "y"}
+
+
+def test_rate_limit_per_key(spark):
+    df = spark.createDataFrame(
+        [(t, i) for t in ("a", "b") for i in range(10)], "tenant string, seq int"
+    )
+    out = parse_ops.rate_limit_per_key(df, ["tenant"], ["seq"], limit=3)
+    got = {r["tenant"]: sorted(x["seq"] for x in out.collect() if x["tenant"] == r["tenant"])
+           for r in out.collect()}
+    assert got == {"a": [0, 1, 2], "b": [0, 1, 2]}
+
+
+def test_parse_user_agents(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36"),
+            (2, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) Gecko/20100101 Firefox/115.0"),
+            (3, "curl/8.4.0"),
+            (4, "Googlebot/2.1 (+http://www.google.com/bot.html)"),
+            (5, None),
+        ],
+        "id int, user_agent string",
+    )
+    out = {r["id"]: r for r in parse_user_agents(df).collect()}
+    assert (out[1]["ua_family"], out[1]["ua_type"], out[1]["ua_os"]) == ("Chrome", "browser", "Windows")
+    assert out[1]["ua_version"].startswith("120")
+    assert (out[2]["ua_family"], out[2]["ua_os"]) == ("Firefox", "macOS")
+    assert out[3]["ua_type"] == "tool"
+    assert out[4]["ua_type"] == "bot"
+    assert out[5]["ua_family"] is None
+
+
+def test_create_sink_tables(spark, sequences, tmp_path):
+    from hypertrace_ingester_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    out = str(tmp_path / "ddl")
+    run_pipeline(spark, sequences.limit(500), PipelineConfig(out_dir=out))
+    routed = spark.read.parquet(out + "/routed")
+    tables = create_sink_tables(spark, routed, out, ["sink-0", "sink-1", "sink-2"])
+    total = 0
+    for t in tables:
+        total += spark.table(t).count()
+    assert total == routed.count()
