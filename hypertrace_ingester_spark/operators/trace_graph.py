@@ -1,157 +1,419 @@
-"""Per-trace graph operators — ApiTraceGraph analog (SURVEY.md §2.4).
+"""Per-trace graph operators — faithful ApiTraceGraph + view walks.
 
-The reference partitions each trace's spans into **ApiNodes** (BFS from each
-API-entry span, stopping at exit-boundary children / new entry boundaries;
-orphan exit roots become their own nodes) and derives ApiNode→ApiNode edges
-through exit→entry parent-child pairs
-(hypertrace-trace-enricher-api/.../trace/util/ApiTraceGraph.java:155-273
-nodes, 275-366 edges). It also computes boundary types from the parent span
-(ApiBoundaryTypeAttributeEnricher.java:65-121).
+Reference semantics implemented here (all cited against /root/reference):
+
+- **ApiNode partitioning** (`hypertrace-trace-enricher-api/.../trace/util/
+  ApiTraceGraph.java:155-273`): every *entry API boundary* span heads a
+  node and BFS-claims descendants; an exit-API-boundary child is added to
+  the node but NOT expanded; an entry-API-boundary child starts its own
+  node; root EXIT spans (orphan/broken traces) head their own nodes;
+  spans not reachable under these rules belong to NO node.
+- **ApiNode edges** (`ApiTraceGraph.java:275-366`): an edge per
+  (member exit-API-boundary span → its entry-API-boundary child). The
+  entry→entry "proxy" branch at :347 looks up the destination node with an
+  Event key in a ByteBuffer-keyed map and therefore never matches — it is
+  dead code in the reference, so no ENTRY_TO_ENTRY edges are emitted here
+  either (kept faithful rather than "fixed").
+- **SpanEventView ancestor walks** (`hypertrace-view-generator/.../
+  generators/SpanEventViewGenerator.java:77-125, 155-327`): api_trace_id =
+  nearest self-or-ancestor entry-API-boundary span; api_trace_count = 1 on
+  that head only; display entity/span names resolved through the
+  exit-span → callee-API-entry map built by walking each exit boundary's
+  ancestral exit chain (last-writer-wins over span order, including null
+  callees — HashMap.put semantics).
+- **ServiceCallView 4 scenarios** (`generators/ServiceCallViewGenerator
+  .java:57-88, 233-418`): (a) one row per ApiNode edge (error = OR,
+  exceptions = sum, times from the entry side), (b) root entry boundaries
+  (no incoming edge), (c) member exit boundaries with no outgoing edge
+  (backends; composed request URL), (d) entry-less ApiNodes' exits walked
+  to distinct *real* roots (empty event-ref list — broken-parent spans
+  excluded).
+- **RawServiceView** (`generators/RawServiceViewGenerator.java:25-105`):
+  one row per ApiNode head span, num_calls = 1 iff the head is ENTRY,
+  transaction name = api_name of the trace's earliest ENTRY span
+  (`TransactionNameEnricher.java:24-49`).
 
 Spark design (SURVEY §7 hard-part 1): a trace is SMALL (≤ thousands of
-spans, capped upstream by the G3 row cap), so the graph walk runs per-group
-inside ONE ``applyInPandas`` — vectorized Arrow transfer in, plain-Python
-BFS over an in-memory adjacency dict per trace, narrow rows out. The
-shuffle is a single hash partition on (tenant_id, trace_id); no distributed
-graph engine, no iterative joins.
-
-What stays relational: parent←→child pairing for boundary classification is
-ALSO expressible as a self-join (`span_boundary_types` below) — used when
-only boundary flags are needed (cheaper: no Python, stays codegen'd).
+spans, capped upstream by the G3 row cap), so each walk runs per-group in
+ONE ``applyInPandas`` — Arrow batches in, plain-Python dict/BFS per trace,
+narrow rows out. The only shuffle is the hash partition on
+(tenant_id, trace_id); at 1000-executor scale this is the exact analog of
+the reference's trace-keyed Kafka partitioning, and AQE handles skewed
+tenants. No driver-side loops, no distributed graph engine.
 """
 
 from __future__ import annotations
 
 from collections import deque
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SPANS_SCHEMA = (
-    "tenant_id string, trace_id string, span_id string, parent_span_id string, "
-    "ts_ms long, kind string, service string"
-)
+# Input columns every walk expects (a subset is fine for api_nodes/edges).
+SPAN_COLS = [
+    "tenant_id", "trace_id", "span_id", "parent_span_id", "ts_ms", "kind",
+    "service", "api_name", "op_name", "start_ms", "end_ms", "duration_ms",
+    "error_count", "exception_count", "status_code",
+    "backend_name", "backend_path", "is_entry_api", "is_exit_api",
+    "has_parent_ref",
+]
 
 API_NODES_SCHEMA = (
-    "tenant_id string, trace_id string, span_id string, api_node_id int, "
-    "is_node_head boolean, node_depth int"
+    "tenant_id long, trace_id long, span_id long, head_span_id long, "
+    "node_depth long, is_node_head boolean"
 )
 
 API_EDGES_SCHEMA = (
-    "tenant_id string, trace_id string, src_node_id int, dst_node_id int, "
-    "src_span_id string, dst_span_id string"
+    "tenant_id long, trace_id long, src_head_span_id long, dst_head_span_id long, "
+    "src_span_id long, dst_span_id long"
+)
+
+SPAN_EVENT_SCHEMA = (
+    "tenant_id long, trace_id long, span_id long, api_trace_id long, "
+    "api_trace_count long, display_entity_name string, display_span_name string"
+)
+
+SERVICE_CALL_SCHEMA = (
+    "tenant_id long, trace_id long, scenario string, client_span_id long, "
+    "server_span_id long, caller_service string, callee_service string, "
+    "callee_backend string, request_url string, error_count long, "
+    "exception_count long, duration_ms long"
+)
+
+RAW_SERVICE_SCHEMA = (
+    "tenant_id long, trace_id long, span_id long, parent_span_id long, "
+    "service string, api_name string, kind string, start_ms long, end_ms long, "
+    "duration_ms long, status_code long, error_count long, exception_count long, "
+    "num_calls long, transaction_name string"
 )
 
 
-def _build_api_nodes(pdf: pd.DataFrame) -> tuple[dict, list]:
-    """ApiTraceGraph.java:155-273 semantics on one trace:
+class _TraceState:
+    """One trace's adjacency + ApiTraceGraph state (ViewGeneratorState.java
+    analog: built once, shared by every view generator)."""
 
-    - every ENTRY span starts a new ApiNode and BFS-claims descendants,
-      stopping when a child is itself ENTRY (new node boundary);
-    - EXIT/other spans reachable from the entry belong to its node;
-    - roots that are not ENTRY (orphan exits) become their own nodes.
-    Returns (span_id → (node_id, depth, is_head), ordered head list)."""
-    spans = pdf.sort_values(["ts_ms", "span_id"], ignore_index=True)
-    kind = dict(zip(spans["span_id"], spans["kind"]))
-    children: dict[str, list[str]] = {}
-    roots: list[str] = []
-    span_ids = set(spans["span_id"])
-    for sid, parent in zip(spans["span_id"], spans["parent_span_id"]):
-        if parent is None or parent not in span_ids:
-            roots.append(sid)  # dangling parents → treated as roots (broken-trace path)
-        else:
-            children.setdefault(parent, []).append(sid)
+    def __init__(self, pdf: pd.DataFrame):
+        spans = pdf.sort_values(["ts_ms", "span_id"], ignore_index=True)
+        self.spans = spans
+        self.order = list(spans["span_id"])
+        self.row = {sid: i for i, sid in enumerate(self.order)}
+        get = spans.to_dict("list")
+        self.kind = dict(zip(get["span_id"], get["kind"]))
+        self.col = get
+        ids = set(self.order)
+        self.parent: dict = {}
+        self.children: dict = {}
+        for sid, pid in zip(get["span_id"], get["parent_span_id"]):
+            if pid is not None and not pd.isna(pid) and pid in ids:
+                self.parent[sid] = pid
+                self.children.setdefault(pid, []).append(sid)
+        # children in event order (ts, id) — pdf is pre-sorted
+        self.is_entry_api = dict(zip(get["span_id"], get["is_entry_api"]))
+        self.is_exit_api = dict(zip(get["span_id"], get["is_exit_api"]))
+        self._build_nodes()
+        self._build_edges()
 
-    assign: dict[str, tuple[int, int, bool]] = {}
-    heads: list[str] = []
+    def v(self, col, sid):
+        return self.col[col][self.row[sid]]
 
-    def claim(head: str) -> None:
-        node_id = len(heads)
-        heads.append(head)
-        assign[head] = (node_id, 0, True)
-        q = deque([(head, 0)])
-        while q:
-            sid, depth = q.popleft()
-            for child in children.get(sid, ()):
-                if child in assign:
-                    continue
-                if kind[child] == "ENTRY":
-                    continue  # boundary: child starts its own node
-                assign[child] = (node_id, depth + 1, False)
-                q.append((child, depth + 1))
+    # -- ApiTraceGraph.java:155-273 ------------------------------------
+    def _build_nodes(self) -> None:
+        self.member: dict = {}   # span_id -> (head_span_id, depth)
+        self.heads: list = []
+        self.node_members: dict = {}  # head -> [span_id]
 
-    # pass 1: every ENTRY span heads a node (BFS order: by ts)
-    for sid in spans["span_id"]:
-        if kind[sid] == "ENTRY" and sid not in assign:
-            claim(sid)
-    # pass 2: unclaimed roots (orphan exit roots) head their own nodes
-    for sid in spans["span_id"]:
-        if sid not in assign and (sid in roots or kind.get(sid) != "ENTRY"):
-            if sid in roots:
+        def claim(head) -> None:
+            self.heads.append(head)
+            members = [head]
+            self.member[head] = (head, 0)
+            q = deque([(head, 0)])
+            while q:
+                sid, depth = q.popleft()
+                for child in self.children.get(sid, ()):  # event order
+                    if self.is_entry_api[child]:
+                        continue  # new boundary — child heads its own node
+                    if child in self.member:
+                        continue
+                    self.member[child] = (head, depth + 1)
+                    members.append(child)
+                    if not self.is_exit_api[child]:
+                        q.append((child, depth + 1))
+                    # exit boundary children join the node but are not expanded
+            self.node_members[head] = members
+
+        for sid in self.order:
+            if self.is_entry_api[sid]:
                 claim(sid)
-    # pass 3: anything still unclaimed (unreachable islands) → own node
-    for sid in spans["span_id"]:
-        if sid not in assign:
-            claim(sid)
-    return assign, heads
+        for sid in self.order:  # orphan roots: only EXIT roots become heads
+            if sid not in self.member and sid not in self.parent and self.kind[sid] == "EXIT":
+                claim(sid)
+        # anything else (e.g. UNSPECIFIED roots, spans below an exit
+        # boundary) stays nodeless — ApiTraceGraph.java:202-214.
+
+    # -- ApiTraceGraph.java:275-366 ------------------------------------
+    def _build_edges(self) -> None:
+        self.edges: list = []  # (src_head, dst_head, src_exit, dst_entry)
+        self.entry_with_incoming: set = set()
+        self.exit_with_outgoing: set = set()
+        for head in self.heads:
+            for sid in self.node_members[head]:
+                if not self.is_exit_api[sid]:
+                    continue
+                for child in self.children.get(sid, ()):
+                    if self.is_entry_api[child]:
+                        self.edges.append((head, child, sid, child))
+                        self.exit_with_outgoing.add(sid)
+                        self.entry_with_incoming.add(child)
+
+    # -- SpanEventViewGenerator.java:77-125 ----------------------------
+    def exit_to_callee_entry(self) -> dict:
+        """exit span → callee API-entry span (or None), last-writer-wins in
+        span order — HashMap.put semantics incl. null values."""
+        out: dict = {}
+        for x in self.order:
+            if not self.is_exit_api[x]:
+                continue
+            callee = None
+            for child in self.children.get(x, ()):  # first in event order
+                if self.is_entry_api[child]:
+                    callee = child
+                    break
+            cur = x
+            while cur is not None and self.kind[cur] != "ENTRY":
+                if self.kind[cur] == "EXIT":
+                    out[cur] = callee
+                cur = self.parent.get(cur)
+        return out
+
+    def api_entry_ancestor(self, sid):
+        """EnrichedSpanUtils.getApiEntrySpan: self if entry boundary, else
+        nearest ancestor entry boundary, else None."""
+        if self.is_entry_api[sid]:
+            return sid
+        cur = self.parent.get(sid)
+        while cur is not None:
+            if self.is_entry_api[cur]:
+                return cur
+            cur = self.parent.get(cur)
+        return None
+
+    def root_ancestor(self, sid):
+        cur = sid
+        while cur in self.parent:
+            cur = self.parent[cur]
+        return cur
+
+    def transaction_name(self):
+        """TransactionNameEnricher.java:24-49 — api_name of the earliest
+        ENTRY span (event order = (ts, id))."""
+        for sid in self.order:
+            if self.kind[sid] == "ENTRY":
+                return self.v("api_name", sid)
+        return None
+
+
+def _grouped(spans: DataFrame, fn, schema: str) -> DataFrame:
+    return spans.groupBy("tenant_id", "trace_id").applyInPandas(fn, schema=schema)
 
 
 def api_nodes(spans: DataFrame) -> DataFrame:
-    """Span → ApiNode assignment, one ``applyInPandas`` over
-    (tenant_id, trace_id) groups."""
+    """Span → ApiNode membership (node identity = head span id)."""
 
     def per_trace(pdf: pd.DataFrame) -> pd.DataFrame:
-        assign, _ = _build_api_nodes(pdf)
+        st = _TraceState(pdf)
+        t, tr = pdf["tenant_id"].iloc[0], pdf["trace_id"].iloc[0]
         rows = [
             {
-                "tenant_id": t, "trace_id": tr, "span_id": s,
-                "api_node_id": assign[s][0],
-                "is_node_head": assign[s][2],
-                "node_depth": assign[s][1],
+                "tenant_id": t, "trace_id": tr, "span_id": sid,
+                "head_span_id": head, "node_depth": depth,
+                "is_node_head": sid == head,
             }
-            for t, tr, s in zip(pdf["tenant_id"], pdf["trace_id"], pdf["span_id"])
+            for sid, (head, depth) in st.member.items()
         ]
-        return pd.DataFrame(rows)
+        return pd.DataFrame(rows, columns=[f.split()[0] for f in API_NODES_SCHEMA.split(", ")])
 
-    return spans.groupBy("tenant_id", "trace_id").applyInPandas(
-        per_trace, schema=API_NODES_SCHEMA
-    )
+    return _grouped(spans, per_trace, API_NODES_SCHEMA)
 
 
 def api_edges(spans: DataFrame) -> DataFrame:
-    """ApiNode→ApiNode edges: parent-child span pairs that cross node
-    boundaries (exit→entry pairing, ApiTraceGraph.java:275-366; the
-    entry→entry case covers proxy-style missing exits)."""
+    """ApiNode→ApiNode edges through exit→entry parent-child pairs."""
 
     def per_trace(pdf: pd.DataFrame) -> pd.DataFrame:
-        assign, _ = _build_api_nodes(pdf)
-        span_ids = set(pdf["span_id"])
-        out = []
-        t = pdf["tenant_id"].iloc[0]
-        tr = pdf["trace_id"].iloc[0]
-        for sid, parent in zip(pdf["span_id"], pdf["parent_span_id"]):
-            if parent is None or parent not in span_ids:
-                continue
-            src, dst = assign[parent][0], assign[sid][0]
-            if src != dst:
-                out.append(
-                    {
-                        "tenant_id": t, "trace_id": tr,
-                        "src_node_id": src, "dst_node_id": dst,
-                        "src_span_id": parent, "dst_span_id": sid,
-                    }
-                )
-        return pd.DataFrame(
-            out,
-            columns=["tenant_id", "trace_id", "src_node_id", "dst_node_id",
-                     "src_span_id", "dst_span_id"],
-        )
+        st = _TraceState(pdf)
+        t, tr = pdf["tenant_id"].iloc[0], pdf["trace_id"].iloc[0]
+        rows = [
+            {
+                "tenant_id": t, "trace_id": tr,
+                "src_head_span_id": sh, "dst_head_span_id": dh,
+                "src_span_id": sx, "dst_span_id": de,
+            }
+            for sh, dh, sx, de in st.edges
+        ]
+        return pd.DataFrame(rows, columns=[f.split()[0] for f in API_EDGES_SCHEMA.split(", ")])
 
-    return spans.groupBy("tenant_id", "trace_id").applyInPandas(
-        per_trace, schema=API_EDGES_SCHEMA
-    )
+    return _grouped(spans, per_trace, API_EDGES_SCHEMA)
+
+
+def span_event_walks(spans: DataFrame) -> DataFrame:
+    """Per-span SpanEventView ancestor-walk columns: api_trace_id,
+    api_trace_count, display entity/span names."""
+
+    def per_trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = _TraceState(pdf)
+        t, tr = pdf["tenant_id"].iloc[0], pdf["trace_id"].iloc[0]
+        callee_map = st.exit_to_callee_entry()
+        rows = []
+        for sid in st.order:
+            kind = st.kind[sid]
+            entry = st.api_entry_ancestor(sid)
+            callee = callee_map.get(sid)
+            service = st.v("service", sid)
+            # display_entity_name — SpanEventViewGenerator.java:262-287
+            if kind != "EXIT":
+                display_entity = service
+            elif callee is not None:
+                display_entity = st.v("service", callee)
+            else:
+                be = st.v("backend_name", sid)
+                display_entity = be if be else service
+            # display_span_name — SpanEventViewGenerator.java:289-312
+            if kind == "ENTRY":
+                display_span = st.v("api_name", sid)
+            elif kind == "EXIT":
+                if callee is not None:
+                    display_span = st.v("api_name", callee)
+                else:
+                    bp = st.v("backend_path", sid)
+                    display_span = bp if bp else st.v("op_name", sid)
+            else:
+                display_span = st.v("op_name", sid)
+            rows.append(
+                {
+                    "tenant_id": t, "trace_id": tr, "span_id": sid,
+                    "api_trace_id": entry,
+                    "api_trace_count": 1 if entry == sid else 0,
+                    "display_entity_name": display_entity,
+                    "display_span_name": display_span,
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.split()[0] for f in SPAN_EVENT_SCHEMA.split(", ")])
+
+    return _grouped(spans, per_trace, SPAN_EVENT_SCHEMA)
+
+
+def service_call_edges(spans: DataFrame) -> DataFrame:
+    """ServiceCallView's 4-scenario union per trace."""
+
+    def per_trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = _TraceState(pdf)
+        t, tr = pdf["tenant_id"].iloc[0], pdf["trace_id"].iloc[0]
+        rows = []
+
+        def row(scenario, client=None, server=None, caller_service=None,
+                callee_service=None, callee_backend=None, request_url=None,
+                error=0, exc=0, duration=0):
+            rows.append(
+                {
+                    "tenant_id": t, "trace_id": tr, "scenario": scenario,
+                    "client_span_id": client, "server_span_id": server,
+                    "caller_service": caller_service,
+                    "callee_service": callee_service,
+                    "callee_backend": callee_backend, "request_url": request_url,
+                    "error_count": error, "exception_count": exc,
+                    "duration_ms": duration,
+                }
+            )
+
+        # (a) one row per ApiNode edge — ServiceCallViewGenerator.java:95-150
+        for _, _, src, dst in st.edges:
+            err = 1 if (st.v("error_count", src) + st.v("error_count", dst)) > 0 else 0
+            exc = st.v("exception_count", src) + st.v("exception_count", dst)
+            row("EDGE", client=src, server=dst,
+                caller_service=st.v("service", src),
+                callee_service=st.v("service", dst),
+                error=err, exc=exc, duration=st.v("duration_ms", dst))
+
+        # (b) root entries: entry boundaries with no incoming edge (:233-262)
+        for sid in st.order:
+            if st.is_entry_api[sid] and sid not in st.entry_with_incoming:
+                row("ROOT_ENTRY", server=sid,
+                    callee_service=st.v("service", sid),
+                    error=1 if st.v("error_count", sid) > 0 else 0,
+                    exc=st.v("exception_count", sid),
+                    duration=st.v("duration_ms", sid))
+
+        # (c) backends: member exit boundaries with no outgoing edge (:270-344)
+        for head in st.heads:
+            for sid in st.node_members[head]:
+                if not st.is_exit_api[sid] or sid in st.exit_with_outgoing:
+                    continue
+                be = st.v("backend_name", sid)
+                url = None
+                if be:  # backend entity resolved → composed request URL
+                    bp = st.v("backend_path", sid)
+                    url = "http://" + be + (bp if bp else "")
+                row("BACKEND", client=sid,
+                    caller_service=st.v("service", sid),
+                    callee_backend=be, request_url=url,
+                    error=1 if st.v("error_count", sid) > 0 else 0,
+                    exc=st.v("exception_count", sid),
+                    duration=st.v("duration_ms", sid))
+
+        # (d) entry-less nodes → distinct real root ancestors (:352-418)
+        seen_roots = set()
+        for head in st.heads:
+            if st.is_entry_api[head]:
+                continue
+            for sid in st.node_members[head]:
+                if not st.is_exit_api[sid]:
+                    continue
+                root = st.root_ancestor(sid)
+                if root in seen_roots:
+                    continue
+                seen_roots.add(root)
+                if st.v("has_parent_ref", root):
+                    continue  # broken span, not a real root
+                row("NON_ENTRY_ROOT", server=root,
+                    callee_service=st.v("service", root),
+                    error=1 if st.v("error_count", root) > 0 else 0,
+                    exc=st.v("exception_count", root),
+                    duration=st.v("duration_ms", root))
+
+        return pd.DataFrame(rows, columns=[f.split()[0] for f in SERVICE_CALL_SCHEMA.split(", ")])
+
+    return _grouped(spans, per_trace, SERVICE_CALL_SCHEMA)
+
+
+def raw_service_view(spans: DataFrame) -> DataFrame:
+    """One row per ApiNode head span — RawServiceViewGenerator.java:25-105."""
+
+    def per_trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = _TraceState(pdf)
+        t, tr = pdf["tenant_id"].iloc[0], pdf["trace_id"].iloc[0]
+        txn = st.transaction_name()
+        rows = []
+        for head in st.heads:
+            rows.append(
+                {
+                    "tenant_id": t, "trace_id": tr, "span_id": head,
+                    "parent_span_id": st.parent.get(head),
+                    "service": st.v("service", head),
+                    "api_name": st.v("api_name", head),
+                    "kind": st.kind[head],
+                    "start_ms": st.v("start_ms", head),
+                    "end_ms": st.v("end_ms", head),
+                    "duration_ms": st.v("duration_ms", head),
+                    "status_code": st.v("status_code", head),
+                    "error_count": st.v("error_count", head),
+                    "exception_count": st.v("exception_count", head),
+                    "num_calls": 1 if st.kind[head] == "ENTRY" else 0,
+                    "transaction_name": txn,
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.split()[0] for f in RAW_SERVICE_SCHEMA.split(", ")])
+
+    return _grouped(spans, per_trace, RAW_SERVICE_SCHEMA)
 
 
 def span_boundary_types(spans: DataFrame) -> DataFrame:
@@ -202,19 +464,65 @@ def span_boundary_types(spans: DataFrame) -> DataFrame:
 
 
 def spans_fixture(spark, n_traces: int = 4):
-    """F2 `spans_small` fixture: deterministic multi-level trees with a
-    dangling-parent case (RawSpansGrouperTest.java shapes)."""
+    """Deterministic golden fixture: multi-level trees with entry/exit
+    boundaries, an orphan-exit root and a dangling parent
+    (RawSpansGrouperTest.java / ApiTraceGraph test shapes)."""
     rows = []
     for t in range(n_traces):
-        tr = f"trace-{t}"
-        tenant = f"tenant{t % 2 + 1}"
+        base_id = 1000 * (t + 1)
+        tenant = t % 2
         base = 1_700_000_000_000 + t * 10_000
-        # root entry -> exit -> (child entry -> exit), plus orphan exit
+
+        def span(off, parent, kind, svc, has_ref=None):
+            return {
+                "tenant_id": tenant, "trace_id": t + 1,
+                "span_id": base_id + off,
+                "parent_span_id": None if parent is None else base_id + parent,
+                "ts_ms": base + off * 10, "kind": kind, "service": svc,
+                "api_name": f"api_{off}", "op_name": f"op_{off}",
+                "start_ms": base + off * 10, "end_ms": base + off * 10 + 5,
+                "duration_ms": 5, "error_count": 1 if off == 3 else 0,
+                "exception_count": 1 if off == 2 else 0, "status_code": 200,
+                "backend_name": f"be_{off}" if kind == "EXIT" and off % 2 == 0 else None,
+                "backend_path": f"/bp{off}" if kind == "EXIT" and off % 4 == 0 else None,
+                "is_entry_api": False, "is_exit_api": False,
+                "has_parent_ref": parent is not None if has_ref is None else has_ref,
+            }
+
+        # entry(1) -> exit(2) -> entry(3, svc-b) -> exit(4, backend)
+        #          -> internal(5) -> exit(6)
+        # exit root(7): broken parent ref on even traces, real root on odd
         rows += [
-            (tenant, tr, f"{tr}-e1", None, base, "ENTRY", "svc-a"),
-            (tenant, tr, f"{tr}-x1", f"{tr}-e1", base + 10, "EXIT", "svc-a"),
-            (tenant, tr, f"{tr}-e2", f"{tr}-x1", base + 20, "ENTRY", "svc-b"),
-            (tenant, tr, f"{tr}-x2", f"{tr}-e2", base + 30, "EXIT", "svc-b"),
-            (tenant, tr, f"{tr}-orphan", f"{tr}-missing", base + 40, "EXIT", "svc-c"),
+            span(1, None, "ENTRY", "svc-a"),
+            span(2, 1, "EXIT", "svc-a"),
+            span(3, 2, "ENTRY", "svc-b"),
+            span(4, 3, "EXIT", "svc-b"),
+            span(5, 1, "UNSPECIFIED", "svc-a"),
+            span(6, 5, "EXIT", "svc-a"),
+            span(7, None, "EXIT", "svc-c", has_ref=(t % 2 == 0)),
         ]
-    return spark.createDataFrame(rows, SPANS_SCHEMA)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema=(
+            "tenant_id long, trace_id long, span_id long, parent_span_id long, "
+            "ts_ms long, kind string, service string, api_name string, "
+            "op_name string, start_ms long, end_ms long, duration_ms long, "
+            "error_count long, exception_count long, status_code long, "
+            "backend_name string, backend_path string, is_entry_api boolean, "
+            "is_exit_api boolean, has_parent_ref boolean"
+        ),
+    )
+    # boundary flags derived relationally so fixtures stay consistent
+    flags = span_boundary_types(df).withColumnRenamed("span_id", "f_span_id")
+    return (
+        df.drop("is_entry_api", "is_exit_api")
+        .join(
+            flags.select(
+                F.col("trace_id").alias("f_trace_id"), "f_span_id",
+                F.col("is_api_entry").alias("is_entry_api"),
+                F.col("is_api_exit").alias("is_exit_api"),
+            ),
+            (F.col("trace_id") == F.col("f_trace_id")) & (F.col("span_id") == F.col("f_span_id")),
+        )
+        .drop("f_trace_id", "f_span_id")
+    )

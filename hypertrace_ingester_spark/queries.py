@@ -1205,8 +1205,17 @@ def x_explode_words(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: qd.fn for name, qd in REGISTRY.items()}
 
 
+def _load_extensions() -> None:
+    """Import sibling catalog modules that register into REGISTRY (kept
+    out of this module to bound file size; imported lazily to avoid a
+    circular import at module load)."""
+    from . import queries_spans  # noqa: F401
+
+
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

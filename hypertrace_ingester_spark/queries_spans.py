@@ -1,0 +1,271 @@
+"""Span-domain catalog queries — ApiTraceGraph, SpanEventView walks,
+ServiceCallView union, RawServiceView — each with a DuckDB recursive-CTE
+oracle over the SAME deterministic spans derivation (operators/spandom.py).
+
+These close the round-1 fidelity gap: the graph semantics of
+ApiTraceGraph.java:155-366, SpanEventViewGenerator.java:77-327,
+ServiceCallViewGenerator.java:57-418 and RawServiceViewGenerator.java:25-105
+now run on span-shaped data under the full rows+schema+hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import spandom
+from .operators import trace_graph as tg
+from .queries import register
+
+_W = "WITH RECURSIVE\n" + spandom.SPANS_SQL
+
+
+@register(
+    "g_api_nodes",
+    _W + "," + spandom.MEMBERS_SQL + """
+    SELECT tenant_id, trace_id, span_id, head_span_id,
+           CAST(node_depth AS BIGINT) AS node_depth,
+           (span_id = head_span_id) AS is_node_head
+    FROM members
+    """,
+    doc="ApiTraceGraph node partitioning (ApiTraceGraph.java:155-273): BFS "
+        "from entry API boundaries, exit-boundary children unexpanded, "
+        "orphan EXIT roots head their own nodes; spans outside any boundary "
+        "stay nodeless. Oracle = DuckDB recursive CTE over the same spans "
+        "derivation.",
+)
+def g_api_nodes(spark, sf_dir):
+    return tg.api_nodes(spandom.spans(spark, sf_dir))
+
+
+@register(
+    "g_api_edges",
+    _W + "," + spandom.MEMBERS_SQL + """
+    SELECT m.tenant_id, m.trace_id, m.head_span_id AS src_head_span_id,
+           c.span_id AS dst_head_span_id, m.span_id AS src_span_id,
+           c.span_id AS dst_span_id
+    FROM members m
+    JOIN flags x ON x.trace_id = m.trace_id AND x.span_id = m.span_id
+    JOIN flags c ON c.trace_id = m.trace_id AND c.parent_span_id = m.span_id
+              AND c.is_entry_api
+    WHERE x.is_exit_api
+    """,
+    doc="ApiNode→ApiNode edges through member-exit-boundary → entry-boundary "
+        "child pairs (ApiTraceGraph.java:275-326; the entry→entry branch at "
+        ":347 is dead code in the reference — see trace_graph.py docstring).",
+)
+def g_api_edges(spark, sf_dir):
+    return tg.api_edges(spandom.spans(spark, sf_dir))
+
+
+@register(
+    "v_span_event_full",
+    _W + """,
+    walk AS (
+      SELECT trace_id, span_id, span_id AS cur FROM flags
+      UNION ALL
+      SELECT w.trace_id, w.span_id, f.parent_span_id
+      FROM walk w JOIN flags f ON f.trace_id = w.trace_id AND f.span_id = w.cur
+      WHERE NOT f.is_entry_api AND f.parent_span_id IS NOT NULL
+            AND f.parent_span_id <> -1
+    ),
+    api_entry AS (
+      SELECT w.trace_id, w.span_id, w.cur AS api_trace_id
+      FROM walk w JOIN flags f ON f.trace_id = w.trace_id AND f.span_id = w.cur
+      WHERE f.is_entry_api
+    ),
+    upath AS (
+      SELECT trace_id, span_id AS exit_id, span_id AS cur
+      FROM flags WHERE is_exit_api
+      UNION ALL
+      SELECT u.trace_id, u.exit_id, f.parent_span_id
+      FROM upath u
+      JOIN flags f ON f.trace_id = u.trace_id AND f.span_id = u.cur
+      JOIN flags p ON p.trace_id = u.trace_id AND p.span_id = f.parent_span_id
+      WHERE f.parent_span_id IS NOT NULL AND f.parent_span_id <> -1
+            AND p.kind <> 'ENTRY'
+    ),
+    callee AS (
+      SELECT trace_id, exit_id, callee_id FROM (
+        SELECT x.trace_id, x.span_id AS exit_id, c.span_id AS callee_id,
+               row_number() OVER (PARTITION BY x.trace_id, x.span_id
+                   ORDER BY c.ts_ms, c.span_id) AS rk
+        FROM flags x
+        JOIN flags c ON c.trace_id = x.trace_id AND c.parent_span_id = x.span_id
+        WHERE x.is_exit_api AND c.is_entry_api
+      ) WHERE rk = 1
+    ),
+    exit_map AS (
+      SELECT trace_id, mapped_span, callee_id FROM (
+        SELECT u.trace_id, u.cur AS mapped_span, c.callee_id,
+               row_number() OVER (PARTITION BY u.trace_id, u.cur
+                   ORDER BY xf.ts_ms DESC, xf.span_id DESC) AS rk
+        FROM upath u
+        JOIN flags s ON s.trace_id = u.trace_id AND s.span_id = u.cur
+                   AND s.kind = 'EXIT'
+        JOIN flags xf ON xf.trace_id = u.trace_id AND xf.span_id = u.exit_id
+        LEFT JOIN callee c ON c.trace_id = u.trace_id AND c.exit_id = u.exit_id
+      ) WHERE rk = 1
+    )
+    SELECT f.tenant_id, f.trace_id, f.span_id, ae.api_trace_id,
+           CAST(CASE WHEN ae.api_trace_id = f.span_id THEN 1 ELSE 0 END AS BIGINT)
+               AS api_trace_count,
+           CASE WHEN f.kind <> 'EXIT' THEN f.service
+                WHEN em.callee_id IS NOT NULL THEN cf.service
+                WHEN f.backend_name IS NOT NULL AND f.backend_name <> ''
+                     THEN f.backend_name
+                ELSE f.service END AS display_entity_name,
+           CASE WHEN f.kind = 'ENTRY' THEN f.api_name
+                WHEN f.kind = 'EXIT' AND em.callee_id IS NOT NULL THEN cf.api_name
+                WHEN f.kind = 'EXIT' AND f.backend_path IS NOT NULL
+                     AND f.backend_path <> '' THEN f.backend_path
+                ELSE f.op_name END AS display_span_name
+    FROM flags f
+    LEFT JOIN api_entry ae ON ae.trace_id = f.trace_id AND ae.span_id = f.span_id
+    LEFT JOIN exit_map em ON em.trace_id = f.trace_id AND em.mapped_span = f.span_id
+    LEFT JOIN flags cf ON cf.trace_id = f.trace_id AND cf.span_id = em.callee_id
+    """,
+    doc="SpanEventView ancestor-walk columns (SpanEventViewGenerator.java:"
+        "77-125, 155-327): api_trace_id via nearest entry-boundary ancestor, "
+        "api_trace_count on heads, display names via the exit→callee-entry "
+        "map with last-writer-wins HashMap semantics.",
+)
+def v_span_event_full(spark, sf_dir):
+    return tg.span_event_walks(spandom.spans(spark, sf_dir))
+
+
+@register(
+    "v_service_call_edges",
+    _W + "," + spandom.MEMBERS_SQL + """,
+    edges AS (
+      SELECT m.tenant_id, m.trace_id, m.span_id AS src_span_id,
+             c.span_id AS dst_span_id
+      FROM members m
+      JOIN flags x ON x.trace_id = m.trace_id AND x.span_id = m.span_id
+      JOIN flags c ON c.trace_id = m.trace_id AND c.parent_span_id = m.span_id
+                 AND c.is_entry_api
+      WHERE x.is_exit_api
+    ),
+    scen_a AS (
+      SELECT e.tenant_id, e.trace_id, 'EDGE' AS scenario,
+             e.src_span_id AS client_span_id, e.dst_span_id AS server_span_id,
+             s.service AS caller_service, d.service AS callee_service,
+             CAST(NULL AS VARCHAR) AS callee_backend,
+             CAST(NULL AS VARCHAR) AS request_url,
+             CAST(CASE WHEN s.error_count + d.error_count > 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS error_count,
+             CAST(s.exception_count + d.exception_count AS BIGINT)
+                 AS exception_count,
+             d.duration_ms
+      FROM edges e
+      JOIN flags s ON s.trace_id = e.trace_id AND s.span_id = e.src_span_id
+      JOIN flags d ON d.trace_id = e.trace_id AND d.span_id = e.dst_span_id
+    ),
+    scen_b AS (
+      SELECT f.tenant_id, f.trace_id, 'ROOT_ENTRY' AS scenario,
+             CAST(NULL AS BIGINT) AS client_span_id, f.span_id AS server_span_id,
+             CAST(NULL AS VARCHAR) AS caller_service, f.service AS callee_service,
+             CAST(NULL AS VARCHAR) AS callee_backend,
+             CAST(NULL AS VARCHAR) AS request_url,
+             CAST(CASE WHEN f.error_count > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS error_count,
+             CAST(f.exception_count AS BIGINT) AS exception_count, f.duration_ms
+      FROM flags f
+      WHERE f.is_entry_api AND NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.trace_id = f.trace_id AND e.dst_span_id = f.span_id)
+    ),
+    scen_c AS (
+      SELECT m.tenant_id, m.trace_id, 'BACKEND' AS scenario,
+             f.span_id AS client_span_id, CAST(NULL AS BIGINT) AS server_span_id,
+             f.service AS caller_service, CAST(NULL AS VARCHAR) AS callee_service,
+             f.backend_name AS callee_backend,
+             CASE WHEN f.backend_name IS NOT NULL
+                  THEN 'http://' || f.backend_name || COALESCE(f.backend_path, '')
+             END AS request_url,
+             CAST(CASE WHEN f.error_count > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS error_count,
+             CAST(f.exception_count AS BIGINT) AS exception_count, f.duration_ms
+      FROM members m
+      JOIN flags f ON f.trace_id = m.trace_id AND f.span_id = m.span_id
+      WHERE f.is_exit_api AND NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.trace_id = m.trace_id AND e.src_span_id = f.span_id)
+    ),
+    dexits AS (
+      SELECT m.tenant_id, m.trace_id, m.span_id
+      FROM members m
+      JOIN flags h ON h.trace_id = m.trace_id AND h.span_id = m.head_span_id
+                 AND NOT h.is_entry_api
+      JOIN flags f ON f.trace_id = m.trace_id AND f.span_id = m.span_id
+                 AND f.is_exit_api
+    ),
+    rootwalk AS (
+      SELECT tenant_id, trace_id, span_id AS exit_id, span_id AS cur FROM dexits
+      UNION ALL
+      SELECT r.tenant_id, r.trace_id, r.exit_id, f.parent_span_id
+      FROM rootwalk r
+      JOIN flags f ON f.trace_id = r.trace_id AND f.span_id = r.cur
+      WHERE f.parent_span_id IS NOT NULL AND f.parent_span_id <> -1
+    ),
+    droots AS (
+      SELECT DISTINCT r.tenant_id, r.trace_id, r.cur AS root_id
+      FROM rootwalk r
+      JOIN flags f ON f.trace_id = r.trace_id AND f.span_id = r.cur
+      WHERE f.parent_span_id IS NULL OR f.parent_span_id = -1
+    ),
+    scen_d AS (
+      SELECT d.tenant_id, d.trace_id, 'NON_ENTRY_ROOT' AS scenario,
+             CAST(NULL AS BIGINT) AS client_span_id, f.span_id AS server_span_id,
+             CAST(NULL AS VARCHAR) AS caller_service, f.service AS callee_service,
+             CAST(NULL AS VARCHAR) AS callee_backend,
+             CAST(NULL AS VARCHAR) AS request_url,
+             CAST(CASE WHEN f.error_count > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS error_count,
+             CAST(f.exception_count AS BIGINT) AS exception_count, f.duration_ms
+      FROM droots d
+      JOIN flags f ON f.trace_id = d.trace_id AND f.span_id = d.root_id
+      WHERE NOT f.has_parent_ref
+    )
+    SELECT * FROM scen_a
+    UNION ALL SELECT * FROM scen_b
+    UNION ALL SELECT * FROM scen_c
+    UNION ALL SELECT * FROM scen_d
+    """,
+    doc="ServiceCallView 4-scenario union (ServiceCallViewGenerator.java:"
+        "57-88, 233-418): ApiNode edges, root entries, backend exits with "
+        "composed request URL, and entry-less nodes walked to distinct real "
+        "roots (broken-parent spans excluded).",
+)
+def v_service_call_edges(spark, sf_dir):
+    return tg.service_call_edges(spandom.spans(spark, sf_dir))
+
+
+@register(
+    "v_raw_service_view",
+    _W + "," + spandom.MEMBERS_SQL + """,
+    txn AS (
+      SELECT trace_id, api_name AS transaction_name FROM (
+        SELECT trace_id, api_name,
+               row_number() OVER (PARTITION BY trace_id ORDER BY ts_ms, span_id) AS rk
+        FROM flags WHERE kind = 'ENTRY') WHERE rk = 1
+    )
+    SELECT f.tenant_id, f.trace_id, f.span_id,
+           CASE WHEN f.parent_span_id = -1 THEN NULL
+                ELSE f.parent_span_id END AS parent_span_id,
+           f.service, f.api_name, f.kind, f.start_ms, f.end_ms, f.duration_ms,
+           CAST(f.status_code AS BIGINT) AS status_code,
+           CAST(f.error_count AS BIGINT) AS error_count,
+           CAST(f.exception_count AS BIGINT) AS exception_count,
+           CAST(CASE WHEN f.kind = 'ENTRY' THEN 1 ELSE 0 END AS BIGINT) AS num_calls,
+           txn.transaction_name
+    FROM members m
+    JOIN flags f ON f.trace_id = m.trace_id AND f.span_id = m.span_id
+    LEFT JOIN txn ON txn.trace_id = f.trace_id
+    WHERE m.node_depth = 0
+    """,
+    doc="RawServiceView (RawServiceViewGenerator.java:25-105): one row per "
+        "ApiNode head span, num_calls=1 iff ENTRY head, transaction name = "
+        "earliest ENTRY span's api_name (TransactionNameEnricher.java:24-49).",
+)
+def v_raw_service_view(spark, sf_dir):
+    return tg.raw_service_view(spandom.spans(spark, sf_dir))

@@ -14,7 +14,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hypertrace_ingester_spark.oracle import compare, duckdb_connection  # noqa: E402
-from hypertrace_ingester_spark.queries import REGISTRY  # noqa: E402
+import hypertrace_ingester_spark.queries as _q  # noqa: E402
+
+_q._load_extensions()
+REGISTRY = _q.REGISTRY
 from hypertrace_ingester_spark.session import get_spark  # noqa: E402
 
 

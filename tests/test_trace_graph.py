@@ -1,6 +1,15 @@
-"""ApiTraceGraph analog tests — golden node/edge assignments on the F2
-spans fixture (ApiTraceGraph.java node semantics: entry-rooted BFS nodes,
-orphan exit roots as own nodes; edges across node boundaries)."""
+"""ApiTraceGraph + view-walk golden tests on the spans fixture.
+
+Fixture tree per trace (ids = 1000*(t+1)+off):
+  entry(1, svc-a) ── exit(2) ── entry(3, svc-b) ── exit(4, backend be_4//bp4)
+                  └─ internal(5) ── exit(6, backend be_6)
+  exit root(7, svc-c): dangling parent ref on even traces, real root on odd.
+
+Expected (ApiTraceGraph.java:155-366 semantics):
+  nodes: {1,2,5,6} headed by 1 (exit 2 NOT expanded, so 3 is reached only
+  as its own entry head), {3,4} headed by 3, {7} orphan exit root.
+  edges: 2 → 3 only.
+"""
 
 import pytest
 
@@ -12,44 +21,100 @@ def spans(spark):
     return tg.spans_fixture(spark, n_traces=4).cache()
 
 
+def _ids(base, *offs):
+    return {base + o for o in offs}
+
+
 def test_api_nodes_assignment(spark, spans):
     nodes = tg.api_nodes(spans).toPandas()
-    one = nodes[nodes.trace_id == "trace-0"].set_index("span_id")
-    # e1 heads node 0 and claims its exit child; e2 heads node 1 with x2;
-    # the orphan exit is its own node.
-    assert one.loc["trace-0-e1", "api_node_id"] == one.loc["trace-0-x1", "api_node_id"]
-    assert one.loc["trace-0-e2", "api_node_id"] == one.loc["trace-0-x2", "api_node_id"]
-    assert one.loc["trace-0-e1", "api_node_id"] != one.loc["trace-0-e2", "api_node_id"]
-    assert one.loc["trace-0-orphan", "api_node_id"] not in {
-        one.loc["trace-0-e1", "api_node_id"], one.loc["trace-0-e2", "api_node_id"]
-    }
-    assert bool(one.loc["trace-0-e1", "is_node_head"])
-    assert not bool(one.loc["trace-0-x1", "is_node_head"])
-    assert one.loc["trace-0-x1", "node_depth"] == 1
-    # every span assigned in every trace
-    assert len(nodes) == spans.count()
+    one = nodes[nodes.trace_id == 1].set_index("span_id")
+    assert set(one.index) == _ids(1000, 1, 2, 3, 4, 5, 6, 7)
+    assert set(one[one.head_span_id == 1001].index) == _ids(1000, 1, 2, 5, 6)
+    assert set(one[one.head_span_id == 1003].index) == _ids(1000, 3, 4)
+    assert set(one[one.head_span_id == 1007].index) == _ids(1000, 7)
+    assert bool(one.loc[1001, "is_node_head"]) and bool(one.loc[1007, "is_node_head"])
+    assert not bool(one.loc[1002, "is_node_head"])
+    assert one.loc[1002, "node_depth"] == 1
+    assert one.loc[1006, "node_depth"] == 2  # via internal span 5
 
 
 def test_api_edges(spark, spans):
     edges = tg.api_edges(spans).toPandas()
-    one = edges[edges.trace_id == "trace-1"]
-    # exactly one cross-node parent-child pair per trace: x1 -> e2
+    one = edges[edges.trace_id == 2]
     assert len(one) == 1
-    assert one.iloc[0]["src_span_id"] == "trace-1-x1"
-    assert one.iloc[0]["dst_span_id"] == "trace-1-e2"
-    assert one.iloc[0]["src_node_id"] != one.iloc[0]["dst_node_id"]
+    assert one.iloc[0]["src_span_id"] == 2002
+    assert one.iloc[0]["dst_span_id"] == 2003
+    assert one.iloc[0]["src_head_span_id"] == 2001
+    assert one.iloc[0]["dst_head_span_id"] == 2003
+
+
+def test_span_event_walks(spark, spans):
+    w = tg.span_event_walks(spans).toPandas()
+    one = w[w.trace_id == 1].set_index("span_id")
+    # api_trace_id: nearest self-or-ancestor entry API boundary
+    for off, expect in [(1, 1001), (2, 1001), (5, 1001), (6, 1001), (3, 1003), (4, 1003)]:
+        assert one.loc[1000 + off, "api_trace_id"] == expect
+    assert bool(one.loc[1007, "api_trace_id"] is None or one.loc[1007].isna()["api_trace_id"])
+    assert one.loc[1001, "api_trace_count"] == 1
+    assert one.loc[1002, "api_trace_count"] == 0
+    # display entity: exit with callee -> callee service; exit w/o -> backend
+    assert one.loc[1002, "display_entity_name"] == "svc-b"
+    assert one.loc[1004, "display_entity_name"] == "be_4"
+    assert one.loc[1006, "display_entity_name"] == "be_6"
+    assert one.loc[1007, "display_entity_name"] == "svc-c"  # no backend, fall back
+    # display span: entry -> api_name; exit w/ callee -> callee api_name;
+    # backend path; op_name fallbacks
+    assert one.loc[1001, "display_span_name"] == "api_1"
+    assert one.loc[1002, "display_span_name"] == "api_3"
+    assert one.loc[1004, "display_span_name"] == "/bp4"
+    assert one.loc[1006, "display_span_name"] == "op_6"
+    assert one.loc[1005, "display_span_name"] == "op_5"
+
+
+def test_service_call_scenarios(spark, spans):
+    sc = tg.service_call_edges(spans).toPandas()
+    t_even = sc[sc.trace_id == 1]  # broken root ref -> no scenario d
+    by_scen = t_even.groupby("scenario").size().to_dict()
+    assert by_scen.get("EDGE") == 1
+    assert by_scen.get("ROOT_ENTRY") == 1
+    assert by_scen.get("BACKEND") == 3  # spans 4, 6, 7
+    assert "NON_ENTRY_ROOT" not in by_scen
+    edge = t_even[t_even.scenario == "EDGE"].iloc[0]
+    assert edge["caller_service"] == "svc-a" and edge["callee_service"] == "svc-b"
+    assert edge["error_count"] == 1  # target span 3 has the error
+    assert edge["exception_count"] == 1  # source span 2 has the exception
+    be = t_even[t_even.scenario == "BACKEND"].set_index("client_span_id")
+    assert be.loc[1004, "request_url"] == "http://be_4/bp4"
+    assert be.loc[1006, "request_url"] == "http://be_6"
+    assert be.loc[1007].isna()["request_url"]
+    # odd trace: span 7 is a real root -> scenario d fires
+    t_odd = sc[sc.trace_id == 2]
+    d = t_odd[t_odd.scenario == "NON_ENTRY_ROOT"]
+    assert len(d) == 1 and d.iloc[0]["server_span_id"] == 2007
+    assert d.iloc[0]["callee_service"] == "svc-c"
+
+
+def test_raw_service_view(spark, spans):
+    rv = tg.raw_service_view(spans).toPandas()
+    one = rv[rv.trace_id == 1].set_index("span_id")
+    assert set(one.index) == _ids(1000, 1, 3, 7)  # node heads only
+    assert one.loc[1001, "num_calls"] == 1 and one.loc[1003, "num_calls"] == 1
+    assert one.loc[1007, "num_calls"] == 0
+    assert set(one["transaction_name"]) == {"api_1"}  # earliest ENTRY
 
 
 def test_boundary_types_relational(spark, spans):
-    b = tg.span_boundary_types(spans).toPandas().set_index(["trace_id", "span_id"])
-    # root entry: api entry (no parent); e2: api entry (parent is EXIT)
-    assert bool(b.loc[("trace-2", "trace-2-e1"), "is_api_entry"])
-    assert bool(b.loc[("trace-2", "trace-2-e2"), "is_api_entry"])
-    # x1 has an ENTRY child -> api exit; x2 is leaf exit -> api exit
-    assert bool(b.loc[("trace-2", "trace-2-x1"), "is_api_exit"])
-    assert bool(b.loc[("trace-2", "trace-2-x2"), "is_api_exit"])
-    # entries are never api exits
-    assert not bool(b.loc[("trace-2", "trace-2-e1"), "is_api_exit"])
+    b = (
+        tg.span_boundary_types(spans)
+        .toPandas()
+        .set_index(["trace_id", "span_id"])
+    )
+    assert bool(b.loc[(3, 3001), "is_api_entry"])
+    assert bool(b.loc[(3, 3003), "is_api_entry"])  # parent is EXIT
+    assert bool(b.loc[(3, 3002), "is_api_exit"])  # has ENTRY child
+    assert bool(b.loc[(3, 3004), "is_api_exit"])  # leaf exit
+    assert not bool(b.loc[(3, 3001), "is_api_exit"])
+    assert not bool(b.loc[(3, 3005), "is_api_entry"])  # internal span
 
 
 def test_deterministic_across_partitionings(spark, spans):
