@@ -17,4 +17,20 @@ re-expressed as declarative DataFrame lineage so Catalyst/Tungsten/AQE pick the
 physical strategy (broadcast joins, whole-stage codegen, skew mitigation).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Spark Python workers deserialize applyInPandas closures that reference
+# this package by module path. When the driver process imports the package
+# from a cwd other than the repo root (driver harness, /tmp scripts), the
+# workers — separate processes spawned by the JVM — need the repo root on
+# PYTHONPATH. Export it before any SparkSession/JVM is created: the JVM
+# inherits the driver's environment, and local-mode Python workers inherit
+# the JVM's. On a real cluster the package ships via --py-files instead.
+import os as _os
+
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo_root not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _repo_root + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+    ).rstrip(_os.pathsep)
+del _os

@@ -1,0 +1,392 @@
+"""Protocol field generators — full HTTP/GRPC/SQL tag-extraction tables.
+
+Faithful re-expression of the reference's span-normalizer field generators
+over a ``map<string,string>`` tags column, entirely in JVM column
+expressions (coalesce chains over ``element_at``, ``map_filter`` prefix
+explosion, regexp URL part extraction — no Python in the hot path).
+
+Key tables come from the reference's raw-span constants
+(span-normalizer/raw-span-constants/.../span_attribute.proto,
+envoy_attributes.proto, opencensus.proto, opentracing.proto) and OTel
+semantic-convention constants (span-normalizer-constants/.../
+OTelHttpSemanticConventions.java etc.); the priority orders and guard
+predicates mirror:
+
+- HTTP:  span-normalizer/.../fieldgenerators/HttpFieldsGenerator.java:84-130
+  (alias priority lists), :439-572 (guards/fallbacks), :587-612
+  (populateUrlParts), :135-216 (header/param/cookie prefix explosion; exact
+  fieldGeneratorMap keys win over prefixes — FieldsGenerator.java:69-105);
+  URL validity semantics from
+  semantic-convention-utils/.../HttpSemanticConventionUtils.java:417-444
+  (isValidUrl accepts relative; only absolute URLs survive in the url
+  field, but path/query are still derived from a relative url tag).
+- GRPC/RPC: GrpcFieldsGenerator.java:46-341 (status-code priority from
+  RpcSemanticConventionUtils.java:88-95, size fallback chain :256-323,
+  ``Metadata(k=v,...)`` parsing :342-363), RpcFieldsGenerator.java:1-124.
+- SQL:  SqlFieldsGenerator.java:23-74.
+- Span-kind alias cascade + protocol detection:
+  hypertrace-trace-enricher/.../SpanTypeAttributeEnricher.java:88-179
+  (otel span_kind → OC span.kind → Client flag → envoy operationname →
+  Sent./Recv. name prefix), :181-276 (grpc-by-prefix scan, http scheme).
+
+Simplifications (documented, not silent): the OTel client/server-span
+net.peer URL reconstruction (HttpSemanticConventionUtils.java:302-308) and
+the JDBC connection-string walk of DbSemanticConventionUtils are not
+reproduced — the scheme/host/target composition branch is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Literal key tables (string_value entries of the constants protos)
+# ---------------------------------------------------------------------------
+
+HTTP_URL_KEYS = ["http.url", "http.request.url", "url"]  # + otel dup "http.url"
+HTTP_METHOD_KEYS = ["http.request.method", "http.method"]  # + otel dup
+HTTP_USER_AGENT_KEYS = [
+    "user.agent", "user_agent", "user-agent",
+    "http.request.header.user-agent", "http.user_agent",  # + otel dup
+]
+HTTP_PATH_KEYS = ["http.request.path", "http.path", "http.target"]
+HTTP_REQUEST_SIZE_KEYS = [
+    "request_size", "http.request.size",
+    "http.request_content_length", "http.request.header.content-length",
+]
+HTTP_RESPONSE_SIZE_KEYS = [
+    "response_size", "http.response.size",
+    "http.response_content_length", "http.response.header.content-length",
+]
+HTTP_STATUS_CODE_KEYS = ["http.status_code", "http.response.status_code"]  # + otel dup
+
+GRPC_STATUS_CODE_KEYS = [  # RpcSemanticConventionUtils.ALL_GRPC_STATUS_CODES
+    "rpc.grpc.status_code", "status.code", "grpc.status_code",
+    "rpc.status_code", "census.status_code",
+]
+GRPC_STATUS_MESSAGE_KEYS = ["status.message", "grpc.message"]
+GRPC_METHOD_KEYS = ["grpc.method", "rpc.method"]
+
+SQL_QUERY_KEYS = ["sql.query", "db.statement"]
+SQL_DB_TYPE_KEYS = ["sql.db_type", "db.system"]
+
+# Declared header keys that the exact-key generator map claims before the
+# request-header prefix handler sees them (FieldsGenerator.java:75-82).
+DECLARED_REQUEST_HEADER_KEYS = [
+    "http.request.header.host", "http.request.header.:authority",
+    "http.request.header.content-type", "http.request.header.:path",
+    "http.request.header.x-forwarded-for", "http.request.header.cookie",
+    "http.request.header.user-agent", "http.request.header.content-length",
+]
+DECLARED_RESPONSE_HEADER_KEYS = [
+    "http.response.header.content-type", "http.response.header.set-cookie",
+    "http.response.header.content-length",
+]
+
+
+def _first_key(tags: Column, keys: list[str], valid=None) -> Column:
+    """FirstMatchingKeyFinder.java:11-44 — first non-null (and valid)
+    value over the priority key list, as one coalesce chain."""
+    cols = []
+    for k in keys:
+        v = F.element_at(tags, k)
+        if valid is not None:
+            v = F.when(valid(v), v)
+        cols.append(v)
+    return F.coalesce(*cols)
+
+
+def _non_blank(v: Column) -> Column:
+    return v.isNotNull() & (F.trim(v) != "")
+
+
+_ABS_URL_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
+def _is_absolute(u: Column) -> Column:
+    return u.rlike(_ABS_URL_RE)
+
+
+def _url_authority(u: Column) -> Column:
+    return F.regexp_extract(u, _ABS_URL_RE + r"([^/?#]*)", 1)
+
+
+def _url_protocol(u: Column) -> Column:
+    return F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+
+
+def _url_path(u: Column) -> Column:
+    """Path component of an absolute OR relative URL string (query/fragment
+    stripped), '' when absent."""
+    return F.when(
+        _is_absolute(u), F.regexp_extract(u, _ABS_URL_RE + r"[^/?#]*([^?#]*)", 1)
+    ).otherwise(F.regexp_extract(u, r"^([^?#]*)", 1))
+
+
+def _url_query(u: Column) -> Column:
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    return F.when(u.contains("?"), q)
+
+
+def _strip_trailing_slash(p: Column) -> Column:
+    """HttpFieldsGenerator.removeTrailingSlash: strip unless it's just '/'."""
+    return F.when(
+        p.endswith("/") & (F.length(p) > 1), p.substr(F.lit(1), F.length(p) - 1)
+    ).otherwise(p)
+
+
+def http_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "http_") -> DataFrame:
+    """Extract the full HTTP request/response field set from a tags map."""
+    t = F.col(tags_col)
+
+    method = _first_key(t, HTTP_METHOD_KEYS, _non_blank)
+    user_agent = _first_key(t, HTTP_USER_AGENT_KEYS)
+
+    # URL: relative values pass the validity gate (isValidUrl) but only
+    # absolute ones survive as the url field; parts still derive from
+    # relative ones (HttpFieldsGenerator.java:587-612).
+    url_raw = _first_key(t, HTTP_URL_KEYS, _non_blank)
+    scheme_tag = F.element_at(t, "http.scheme")
+    host_tag = F.element_at(t, "http.host")
+    target_tag = F.element_at(t, "http.target")
+    # maybeSetHttpUrlForOtelFormat: compose scheme://host+target when no
+    # absolute url is present (HttpSemanticConventionUtils.java:287-301)
+    composed = F.when(
+        scheme_tag.isNotNull() & host_tag.isNotNull() & target_tag.isNotNull(),
+        F.concat(scheme_tag, F.lit("://"), host_tag, target_tag),
+    )
+    url_eff = F.when(url_raw.isNotNull() & _is_absolute(url_raw), url_raw).otherwise(
+        F.coalesce(composed, url_raw)
+    )
+    url_final = F.when(url_eff.isNotNull() & _is_absolute(url_eff), url_eff)
+
+    # Path: priority keys (must start with '/'), normalized (query stripped,
+    # trailing slash removed); else derived from the url value.
+    path_attr = _first_key(
+        t, HTTP_PATH_KEYS, lambda v: _non_blank(v) & v.startswith("/")
+    )
+    path_from_attr = _strip_trailing_slash(_url_path(path_attr))
+    url_path = _url_path(url_eff)
+    path_from_url = _strip_trailing_slash(
+        F.when(F.trim(url_path) == "", F.lit("/")).otherwise(url_path)
+    )
+    path = F.coalesce(path_from_attr, F.when(url_eff.isNotNull(), path_from_url))
+
+    query = F.coalesce(
+        F.element_at(t, "http.request.query_string"),
+        F.when(url_eff.isNotNull(), _url_query(url_eff)),
+    )
+    scheme = F.when(url_final.isNotNull(), _url_protocol(url_final)).otherwise(scheme_tag)
+    host = F.when(url_final.isNotNull(), _url_authority(url_final)).otherwise(host_tag)
+
+    # Sizes: alias chain, then body-length fallback unless truncated
+    # (HttpFieldsGenerator.java:510-562).
+    def size(keys, body_key, trunc_key):
+        chain = _first_key(t, keys).cast("long")
+        body = F.element_at(t, body_key)
+        truncated = F.lower(F.coalesce(F.element_at(t, trunc_key), F.lit("false"))) == "true"
+        return F.coalesce(chain, F.when(body.isNotNull() & ~truncated, F.length(body).cast("long")))
+
+    request_size = size(HTTP_REQUEST_SIZE_KEYS, "http.request.body", "http.request.body.truncated")
+    response_size = size(
+        HTTP_RESPONSE_SIZE_KEYS, "http.response.body", "http.response.body.truncated"
+    )
+
+    status_code = _first_key(t, HTTP_STATUS_CODE_KEYS).cast("long")
+    status_message = F.element_at(t, "http.response.status_message")
+
+    # Prefix explosion: exact generator-map keys win over the prefix
+    # handlers (FieldsGenerator.java:75-105), so declared headers are
+    # excluded from the "other headers" maps.
+    def prefix_map(pfx: str, declared: list[str]) -> Column:
+        def pred(k, v):
+            cond = k.startswith(pfx) & (F.length(k) > len(pfx))
+            if declared:
+                cond = cond & ~k.isin(*declared)
+            return cond
+
+        sub = F.map_filter(t, pred)
+        return F.transform_keys(sub, lambda k, v: F.substring(k, len(pfx) + 1, 10_000))
+
+    request_headers = prefix_map("http.request.header.", DECLARED_REQUEST_HEADER_KEYS)
+    response_headers = prefix_map("http.response.header.", DECLARED_RESPONSE_HEADER_KEYS)
+    request_params = prefix_map("http.request.param.", [])
+    # cookies become "key=value" entries (handleRequestCookie :188-208)
+    def cookie_list(pfx: str) -> Column:
+        sub = F.map_filter(t, lambda k, v: k.startswith(pfx) & (F.length(k) > len(pfx)))
+        return F.array_sort(
+            F.transform(
+                F.map_entries(sub),
+                lambda e: F.concat(
+                    F.substring(e["key"], len(pfx) + 1, 10_000), F.lit("="), e["value"]
+                ),
+            )
+        )
+
+    p = prefix
+    return df.select(
+        "*",
+        method.alias(p + "method"),
+        url_final.alias(p + "url"),
+        scheme.alias(p + "scheme"),
+        host.alias(p + "host"),
+        path.alias(p + "path"),
+        query.alias(p + "query"),
+        user_agent.alias(p + "user_agent"),
+        request_size.alias(p + "request_size"),
+        response_size.alias(p + "response_size"),
+        status_code.alias(p + "status_code"),
+        status_message.alias(p + "status_message"),
+        request_headers.alias(p + "request_headers"),
+        response_headers.alias(p + "response_headers"),
+        request_params.alias(p + "request_params"),
+        cookie_list("http.request.cookie.").alias(p + "request_cookies"),
+        cookie_list("http.response.cookie.").alias(p + "response_cookies"),
+    )
+
+
+def grpc_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "grpc_") -> DataFrame:
+    """GRPC/RPC field extraction (GrpcFieldsGenerator.java:46-341,
+    RpcFieldsGenerator.java)."""
+    t = F.col(tags_col)
+
+    status_code = _first_key(t, GRPC_STATUS_CODE_KEYS).cast("long")
+    status_message = _first_key(t, GRPC_STATUS_MESSAGE_KEYS)
+    method = _first_key(t, GRPC_METHOD_KEYS)
+    host_port = F.element_at(t, "grpc.host_port")
+    error_name = F.coalesce(F.element_at(t, "grpc.error_name"), F.element_at(t, "rpc.error_name"))
+    error_message = F.coalesce(
+        F.element_at(t, "grpc.error_message"), F.element_at(t, "rpc.error_message")
+    )
+
+    # Size fallback chain (GrpcFieldsGenerator.java:256-323): envoy size →
+    # rpc metadata content-length → grpc body length (unless truncated) →
+    # rpc body length (unless truncated).
+    def size(envoy_key, meta_key, grpc_body, grpc_trunc, rpc_body, rpc_trunc):
+        def body_len(body_key, trunc_key):
+            body = F.element_at(t, body_key)
+            truncated = (
+                F.lower(F.coalesce(F.element_at(t, trunc_key), F.lit("false"))) == "true"
+            )
+            return F.when(body.isNotNull() & ~truncated, F.length(body).cast("long"))
+
+        return F.coalesce(
+            F.element_at(t, envoy_key).cast("long"),
+            F.element_at(t, meta_key).cast("long"),
+            body_len(grpc_body, grpc_trunc),
+            body_len(rpc_body, rpc_trunc),
+        )
+
+    request_size = size(
+        "request_size", "rpc.request.metadata.content-length",
+        "grpc.request.body", "grpc.request.body.truncated",
+        "rpc.request.body", "rpc.request.body.truncated",
+    )
+    response_size = size(
+        "response_size", "rpc.response.metadata.content-length",
+        "grpc.response.body", "grpc.response.body.truncated",
+        "rpc.response.body", "rpc.response.body.truncated",
+    )
+
+    # "Metadata(k=v,k2=v2)" → map (parseMetadataString :342-363); entries
+    # without exactly one '=' are dropped.
+    def metadata_map(key: str) -> Column:
+        raw = F.element_at(t, key)
+        inner = F.when(
+            raw.isNotNull() & raw.startswith("Metadata(") & raw.endswith(")"),
+            raw.substr(F.lit(10), F.length(raw) - 10),
+        )
+        m = F.str_to_map(inner, F.lit(","), F.lit("="))
+        return F.map_filter(m, lambda k, v: v.isNotNull() & (k != ""))
+
+    p = prefix
+    body = F.coalesce(F.element_at(t, "grpc.request.body"), F.element_at(t, "rpc.request.body"))
+    response_body = F.coalesce(
+        F.element_at(t, "grpc.response.body"), F.element_at(t, "rpc.response.body")
+    )
+    return df.select(
+        "*",
+        status_code.alias(p + "status_code"),
+        status_message.alias(p + "status_message"),
+        method.alias(p + "method"),
+        host_port.alias(p + "host_port"),
+        error_name.alias(p + "error_name"),
+        error_message.alias(p + "error_message"),
+        request_size.alias(p + "request_size"),
+        response_size.alias(p + "response_size"),
+        body.alias(p + "request_body"),
+        response_body.alias(p + "response_body"),
+        metadata_map("grpc.request.metadata").alias(p + "request_metadata"),
+        metadata_map("grpc.response.metadata").alias(p + "response_metadata"),
+    )
+
+
+def sql_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "sql_") -> DataFrame:
+    """SQL field extraction (SqlFieldsGenerator.java:23-74)."""
+    t = F.col(tags_col)
+    p = prefix
+    return df.select(
+        "*",
+        _first_key(t, SQL_QUERY_KEYS).alias(p + "query"),
+        _first_key(t, SQL_DB_TYPE_KEYS).alias(p + "db_type"),
+        F.element_at(t, "sql.url").alias(p + "url"),
+        F.element_at(t, "sql.params").alias(p + "params"),
+        F.element_at(t, "sql.sqlstate").alias(p + "sqlstate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-kind alias cascade + protocol detection
+# (SpanTypeAttributeEnricher.java:88-276)
+# ---------------------------------------------------------------------------
+
+def span_kind_from_tags(tags: Column, op_name: Column) -> Column:
+    """ENTRY/EXIT/UNSPECIFIED via the full alias cascade. Each containsKey
+    branch short-circuits — an unrecognized value yields UNSPECIFIED, it
+    does NOT fall through to the next alias (the reference's else-if
+    chain on containsKey)."""
+    otel = F.lower(F.element_at(tags, "span_kind"))
+    oc = F.lower(F.element_at(tags, "span.kind"))
+    client_flag = F.lower(F.element_at(tags, "Client"))
+    envoy_op = F.lower(F.element_at(tags, "operationname"))
+
+    def tri(v: Column, entry_vals, exit_vals) -> Column:
+        return (
+            F.when(v.isin(*entry_vals), "ENTRY")
+            .when(v.isin(*exit_vals), "EXIT")
+            .otherwise("UNSPECIFIED")
+        )
+
+    return (
+        F.when(otel.isNotNull(), tri(otel, ["server", "consumer"], ["client", "producer"]))
+        .when(oc.isNotNull(), tri(oc, ["server", "consumer"], ["client", "producer"]))
+        .when(client_flag.isNotNull(), tri(client_flag, ["false"], ["true"]))
+        .when(envoy_op.isNotNull(), tri(envoy_op, ["ingress"], ["egress"]))
+        .when(op_name.startswith("Sent."), "EXIT")
+        .when(op_name.startswith("Recv."), "ENTRY")
+        .otherwise("UNSPECIFIED")
+    )
+
+
+def protocol_from_tags(tags: Column) -> Column:
+    """GRPC/HTTP/HTTPS/UNSPECIFIED detection: rpc.system / OT component /
+    grpc.* key-prefix scan first; then http scheme; then the http.* prefix
+    scan that is vetoed by any grpc.* key
+    (SpanTypeAttributeEnricher.java:181-276)."""
+    has_grpc_prefix = F.exists(F.map_keys(tags), lambda k: F.upper(k).startswith("GRPC"))
+    has_http_prefix = F.exists(F.map_keys(tags), lambda k: F.upper(k).startswith("HTTP"))
+    rpc_system = F.lower(F.element_at(tags, "rpc.system"))
+    component = F.lower(F.element_at(tags, "component"))
+    scheme = F.upper(F.element_at(tags, "http.scheme"))
+    is_grpc = (
+        (rpc_system.isNotNull() & (rpc_system == "grpc"))
+        | (component.isNotNull() & (component == "grpc"))
+        | has_grpc_prefix
+    )
+    return (
+        F.when(is_grpc, "GRPC")
+        .when(scheme.isin("HTTP", "HTTPS"), scheme)
+        .when(has_http_prefix & ~has_grpc_prefix, "HTTP")
+        .otherwise("UNSPECIFIED")
+    )

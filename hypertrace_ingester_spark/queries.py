@@ -1213,6 +1213,7 @@ def _load_extensions() -> None:
     """Import sibling catalog modules that register into REGISTRY (kept
     out of this module to bound file size; imported lazily to avoid a
     circular import at module load)."""
+    from . import queries_fieldgen  # noqa: F401
     from . import queries_spans  # noqa: F401
 
 

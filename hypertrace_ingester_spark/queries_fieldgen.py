@@ -1,0 +1,402 @@
+"""Field-generator catalog queries — HTTP / GRPC / SQL extraction and the
+span-kind alias cascade under the full rows+schema+hash gate.
+
+Pattern: each query builds a deterministic ``map<string,string>`` tags
+column from the events table (modular arithmetic on the ``k`` prop decides
+WHICH alias key carries the value, plus lower-priority decoy keys), runs
+the JVM-side extractor from operators/fieldgen.py over the map, and the
+DuckDB oracle independently restates the expected SEMANTICS (priority
+order, URL validation, fallback chains) as CASE arithmetic — it never sees
+the map, so a priority/validation bug in the extractor breaks the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import fieldgen as fg
+from .queries import register
+
+_E_SQL = (
+    "SELECT event_id, "
+    "COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS m "
+    "FROM events"
+)
+
+
+def _events_m(spark, sf_dir):
+    from .sources import load_table
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0)).alias("m"),
+    )
+
+
+def _tags(entries: dict) -> F.Column:
+    pairs = []
+    for k, v in entries.items():
+        pairs += [F.lit(k), v]
+    return F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
+
+
+def _kv_string(map_col) -> F.Column:
+    """map → sorted 'k=v,k2=v2' string (oracle-comparable)."""
+    return F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(
+                F.map_entries(map_col), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+            )
+        ),
+    )
+
+
+def _s(c) -> F.Column:
+    return c.cast("string")
+
+
+# ---------------------------------------------------------------------------
+# P10 — HTTP fields
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_http_fields",
+    f"""
+    WITH e AS ({_E_SQL}),
+    b AS (
+      SELECT event_id, m,
+             CASE WHEN m % 10 < 7 THEN 200 WHEN m % 10 < 9 THEN 404 ELSE 500 END AS status
+      FROM e
+    )
+    SELECT event_id,
+      CASE WHEN m % 3 IN (0, 1)
+           THEN CASE WHEN m % 2 = 0 THEN 'GET' ELSE 'POST' END END AS http_method,
+      CASE WHEN m % 5 = 0 THEN 'http://host' || CAST(m % 20 AS VARCHAR)
+                || '.example.com/a/b' || CAST(m % 9 AS VARCHAR)
+                || '?q=' || CAST(m % 9 AS VARCHAR)
+           WHEN m % 5 = 1 THEN 'https://sec' || CAST(m % 10 AS VARCHAR)
+                || '.example.com:8443/x/'
+           WHEN m % 5 = 4 AND m % 2 = 0 THEN 'https://oteh' || CAST(m % 6 AS VARCHAR)
+                || '.example.com/t' || CAST(m % 4 AS VARCHAR) || '?z=9'
+      END AS http_url,
+      CASE WHEN m % 5 = 0 THEN 'http'
+           WHEN m % 5 = 1 THEN 'https'
+           WHEN m % 5 = 4 AND m % 2 = 0 THEN 'https' END AS http_scheme,
+      CASE WHEN m % 5 = 0 THEN 'host' || CAST(m % 20 AS VARCHAR) || '.example.com'
+           WHEN m % 5 = 1 THEN 'sec' || CAST(m % 10 AS VARCHAR) || '.example.com:8443'
+           WHEN m % 5 = 4 AND m % 2 = 0
+                THEN 'oteh' || CAST(m % 6 AS VARCHAR) || '.example.com' END AS http_host,
+      CASE WHEN m % 4 = 0 THEN '/pp' || CAST(m % 8 AS VARCHAR)
+           WHEN m % 5 = 0 THEN '/a/b' || CAST(m % 9 AS VARCHAR)
+           WHEN m % 5 = 1 THEN '/x'
+           WHEN m % 5 = 2 THEN '/relative/p' || CAST(m % 7 AS VARCHAR)
+           WHEN m % 5 = 4 AND m % 2 = 0 THEN '/t' || CAST(m % 4 AS VARCHAR)
+      END AS http_path,
+      CASE WHEN m % 7 = 0 THEN 'qs=' || CAST(m % 11 AS VARCHAR)
+           WHEN m % 5 = 0 THEN 'q=' || CAST(m % 9 AS VARCHAR)
+           WHEN m % 5 = 2 THEN 'r=1'
+           WHEN m % 5 = 4 AND m % 2 = 0 THEN 'z=9'
+      END AS http_query,
+      CASE WHEN m % 6 < 5 THEN 'UA-' || CAST(m % 10 AS VARCHAR) END AS http_user_agent,
+      CASE WHEN m % 5 < 4 THEN m % 900 + 10
+           WHEN m % 3 <> 0 THEN m % 40 + 1 END AS http_request_size,
+      CASE WHEN m % 2 = 0 THEN m % 500 + 5 END AS http_response_size,
+      CASE WHEN m % 3 IN (0, 1) THEN status END AS http_status_code,
+      'msg_' || CAST(status AS VARCHAR) AS http_status_message,
+      CASE WHEN m % 2 = 0
+           THEN 'x-a=h' || CAST(m % 3 AS VARCHAR) || ',x-b=h2'
+           ELSE 'x-a=h' || CAST(m % 3 AS VARCHAR) END AS req_headers_kv,
+      CASE WHEN m % 3 = 0 THEN 'p1=v' || CAST(m % 4 AS VARCHAR) ELSE '' END AS req_params_kv,
+      CASE WHEN m % 4 = 0 THEN 'c1=cv0,c2=cw' ELSE '' END AS req_cookies_kv
+    FROM b
+    """,
+    doc="P10 full HTTP field extraction (HttpFieldsGenerator.java:84-636): "
+        "alias priority with decoy keys, URL validity (relative url tag "
+        "sets path/query but not url/scheme/host), OTel scheme+host+target "
+        "composition, trailing-slash path normalization, 4-alias size "
+        "chain with body-length fallback gated on the truncated flag, "
+        "header/param/cookie prefix explosion with declared keys excluded.",
+)
+def p_http_fields(spark, sf_dir):
+    e = _events_m(spark, sf_dir)
+    m = F.col("m")
+    status = (
+        F.when(m % 10 < 7, 200).when(m % 10 < 9, 404).otherwise(500).cast("long")
+    )
+    val_method = F.when(m % 2 == 0, "GET").otherwise("POST")
+    ua = F.concat(F.lit("UA-"), _s(m % 10))
+    size_v = _s(m % 900 + 10)
+    df = e.withColumn("status", status).withColumn(
+        "tags",
+        _tags(
+            {
+                "http.request.method": F.when(m % 3 == 0, val_method),
+                "http.method": F.when(m % 3 == 0, F.lit("WRONG")).when(m % 3 == 1, val_method),
+                "http.url": F.when(
+                    m % 5 == 0,
+                    F.concat(
+                        F.lit("http://host"), _s(m % 20), F.lit(".example.com/a/b"),
+                        _s(m % 9), F.lit("?q="), _s(m % 9),
+                    ),
+                ).when(m % 5 == 3, F.lit("   ")),
+                "http.request.url": F.when(
+                    m % 5 == 1,
+                    F.concat(F.lit("https://sec"), _s(m % 10), F.lit(".example.com:8443/x/")),
+                ),
+                "url": F.when(m % 5 == 0, F.lit("http://decoy")).when(
+                    m % 5 == 2, F.concat(F.lit("/relative/p"), _s(m % 7), F.lit("?r=1"))
+                ),
+                "http.scheme": F.when((m % 5 == 4) & (m % 2 == 0), F.lit("https")),
+                "http.host": F.when(
+                    (m % 5 == 4) & (m % 2 == 0),
+                    F.concat(F.lit("oteh"), _s(m % 6), F.lit(".example.com")),
+                ),
+                "http.target": F.when(
+                    (m % 5 == 4) & (m % 2 == 0),
+                    F.concat(F.lit("/t"), _s(m % 4), F.lit("?z=9")),
+                ),
+                "http.request.path": F.when(
+                    m % 4 == 0, F.concat(F.lit("/pp"), _s(m % 8), F.lit("/"))
+                ),
+                "http.path": F.when(m % 4 == 1, F.lit("noslash")),
+                "user.agent": F.when(m % 6 == 0, ua),
+                "user_agent": F.when(m % 6 == 1, ua),
+                "user-agent": F.when(m % 6 == 2, ua),
+                "http.request.header.user-agent": F.when(m % 6 == 3, ua),
+                "http.user_agent": F.when(m % 6 == 4, ua).when(m % 6 == 0, F.lit("UA-WRONG")),
+                "request_size": F.when(m % 5 == 0, size_v),
+                "http.request.size": F.when(m % 5 == 1, size_v),
+                "http.request_content_length": F.when(m % 5 == 2, size_v),
+                "http.request.header.content-length": F.when(m % 5 == 3, size_v).when(
+                    m % 5 == 0, F.lit("9999")
+                ),
+                "http.request.body": F.when(
+                    m % 5 == 4, F.repeat(F.lit("x"), (m % 40 + 1).cast("int"))
+                ),
+                "http.request.body.truncated": F.when(
+                    (m % 5 == 4) & (m % 3 == 0), F.lit("true")
+                ),
+                "http.response.size": F.when(m % 2 == 0, _s(m % 500 + 5)),
+                "http.status_code": F.when(m % 3 == 0, _s(F.col("status"))),
+                "http.response.status_code": F.when(m % 3 == 0, F.lit("999")).when(
+                    m % 3 == 1, _s(F.col("status"))
+                ),
+                "http.response.status_message": F.concat(F.lit("msg_"), _s(F.col("status"))),
+                "http.request.query_string": F.when(
+                    m % 7 == 0, F.concat(F.lit("qs="), _s(m % 11))
+                ),
+                "http.request.header.x-a": F.concat(F.lit("h"), _s(m % 3)),
+                "http.request.header.x-b": F.when(m % 2 == 0, F.lit("h2")),
+                "http.request.param.p1": F.when(m % 3 == 0, F.concat(F.lit("v"), _s(m % 4))),
+                "http.request.cookie.c1": F.when(m % 4 == 0, F.concat(F.lit("cv"), _s(m % 2))),
+                "http.request.cookie.c2": F.when(m % 4 == 0, F.lit("cw")),
+            }
+        ),
+    )
+    out = fg.http_fields(df, "tags")
+    return out.select(
+        "event_id",
+        "http_method", "http_url", "http_scheme", "http_host", "http_path",
+        "http_query", "http_user_agent", "http_request_size",
+        "http_response_size", "http_status_code", "http_status_message",
+        _kv_string(F.col("http_request_headers")).alias("req_headers_kv"),
+        _kv_string(F.col("http_request_params")).alias("req_params_kv"),
+        F.concat_ws(",", F.col("http_request_cookies")).alias("req_cookies_kv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11 — GRPC/RPC fields
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_grpc_fields",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT event_id,
+      m % 17 AS grpc_status_code,
+      CASE WHEN m % 2 = 0 THEN 'sm' || CAST(m % 6 AS VARCHAR)
+           ELSE 'gm' || CAST(m % 6 AS VARCHAR) END AS grpc_status_message,
+      CASE WHEN m % 3 = 0 THEN '/pkg.Svc/M' || CAST(m % 4 AS VARCHAR)
+           WHEN m % 3 = 1 THEN 'M' || CAST(m % 4 AS VARCHAR) END AS grpc_method,
+      CASE WHEN m % 4 = 0 THEN m % 300
+           WHEN m % 4 = 1 THEN m % 200
+           WHEN m % 4 = 2 AND m % 5 <> 0 THEN m % 30 + 1
+           WHEN m % 4 = 2 AND m % 6 = 0 THEN m % 20 + 1 END AS grpc_request_size,
+      CASE WHEN m % 3 = 0
+           THEN 'k1=v' || CAST(m % 5 AS VARCHAR) || ',k2=w0' ELSE '' END AS md_kv,
+      CASE WHEN m % 7 = 0 THEN 'E' || CAST(m % 4 AS VARCHAR) END AS grpc_error_name
+    FROM e
+    """,
+    doc="P11 GRPC/RPC extraction (GrpcFieldsGenerator.java:46-341, "
+        "RpcSemanticConventionUtils.java:88-95): 5-alias status-code "
+        "priority with decoy, census/envoy status message, grpc/rpc method "
+        "aliases, the envoy→content-length→body-length size chain gated on "
+        "truncation flags, and Metadata(k=v,...) parsing dropping "
+        "malformed entries.",
+)
+def p_grpc_fields(spark, sf_dir):
+    e = _events_m(spark, sf_dir)
+    m = F.col("m")
+    sc = _s(m % 17)
+    df = e.withColumn(
+        "tags",
+        _tags(
+            {
+                "rpc.grpc.status_code": F.when(m % 5 == 0, sc),
+                "status.code": F.when(m % 5 == 1, sc),
+                "grpc.status_code": F.when(m % 5 == 2, sc),
+                "rpc.status_code": F.when(m % 5 == 3, sc),
+                "census.status_code": F.when(m % 5 == 0, F.lit("99")).when(m % 5 == 4, sc),
+                "status.message": F.when(m % 2 == 0, F.concat(F.lit("sm"), _s(m % 6))),
+                "grpc.message": F.when(m % 2 == 1, F.concat(F.lit("gm"), _s(m % 6))),
+                "grpc.method": F.when(m % 3 == 0, F.concat(F.lit("/pkg.Svc/M"), _s(m % 4))),
+                "rpc.method": F.when(m % 3 == 1, F.concat(F.lit("M"), _s(m % 4))),
+                "request_size": F.when(m % 4 == 0, _s(m % 300)),
+                "rpc.request.metadata.content-length": F.when(m % 4 == 1, _s(m % 200)),
+                "grpc.request.body": F.when(
+                    m % 4 == 2, F.repeat(F.lit("b"), (m % 30 + 1).cast("int"))
+                ),
+                "grpc.request.body.truncated": F.when(
+                    (m % 4 == 2) & (m % 5 == 0), F.lit("true")
+                ),
+                "rpc.request.body": F.when(
+                    (m % 4 == 2) & (m % 6 == 0),
+                    F.repeat(F.lit("c"), (m % 20 + 1).cast("int")),
+                ),
+                "grpc.request.metadata": F.when(
+                    m % 3 == 0,
+                    F.concat(F.lit("Metadata(k1=v"), _s(m % 5), F.lit(",k2=w0,bad)")),
+                ),
+                "grpc.error_name": F.when(m % 7 == 0, F.concat(F.lit("E"), _s(m % 4))),
+            }
+        ),
+    )
+    out = fg.grpc_fields(df, "tags")
+    return out.select(
+        "event_id", "grpc_status_code", "grpc_status_message", "grpc_method",
+        "grpc_request_size",
+        _kv_string(F.col("grpc_request_metadata")).alias("md_kv"),
+        "grpc_error_name",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 — SQL fields
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_sql_fields",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT event_id,
+      CASE WHEN m % 3 = 0 THEN 'SELECT ' || CAST(m % 10 AS VARCHAR)
+           WHEN m % 3 = 1 THEN 'INSERT ' || CAST(m % 10 AS VARCHAR) END AS sql_query,
+      CASE WHEN m % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS sql_db_type,
+      CASE WHEN m % 4 = 0
+           THEN 'jdbc:mysql://db' || CAST(m % 3 AS VARCHAR) || ':3306/shop'
+      END AS sql_url,
+      CASE WHEN m % 5 = 0 THEN '[' || CAST(m % 7 AS VARCHAR) || ']' END AS sql_params,
+      CASE WHEN m % 6 = 0 THEN '4200' || CAST(m % 2 AS VARCHAR) END AS sql_sqlstate
+    FROM e
+    """,
+    doc="P12 SQL extraction (SqlFieldsGenerator.java:23-74): sql.query/"
+        "db.statement priority with decoy, sql.db_type/db.system, url, "
+        "params, sqlstate.",
+)
+def p_sql_fields(spark, sf_dir):
+    e = _events_m(spark, sf_dir)
+    m = F.col("m")
+    df = e.withColumn(
+        "tags",
+        _tags(
+            {
+                "sql.query": F.when(m % 3 == 0, F.concat(F.lit("SELECT "), _s(m % 10))),
+                "db.statement": F.when(m % 3 == 0, F.lit("WRONG")).when(
+                    m % 3 == 1, F.concat(F.lit("INSERT "), _s(m % 10))
+                ),
+                "sql.db_type": F.when(m % 2 == 0, F.lit("mysql")),
+                "db.system": F.when(m % 2 == 1, F.lit("postgresql")),
+                "sql.url": F.when(
+                    m % 4 == 0, F.concat(F.lit("jdbc:mysql://db"), _s(m % 3), F.lit(":3306/shop"))
+                ),
+                "sql.params": F.when(m % 5 == 0, F.concat(F.lit("["), _s(m % 7), F.lit("]"))),
+                "sql.sqlstate": F.when(m % 6 == 0, F.concat(F.lit("4200"), _s(m % 2))),
+            }
+        ),
+    )
+    out = fg.sql_fields(df, "tags")
+    return out.select(
+        "event_id", "sql_query", "sql_db_type", "sql_url", "sql_params", "sql_sqlstate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 — span-kind alias cascade + protocol detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "e_span_kind_aliases",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT event_id,
+      CASE WHEN m % 6 IN (0, 1) THEN
+             CASE m % 5 WHEN 0 THEN 'ENTRY' WHEN 1 THEN 'EXIT' WHEN 2 THEN 'EXIT'
+                        WHEN 3 THEN 'ENTRY' ELSE 'UNSPECIFIED' END
+           WHEN m % 6 = 2 THEN
+             CASE m % 3 WHEN 0 THEN 'EXIT' WHEN 1 THEN 'ENTRY' ELSE 'UNSPECIFIED' END
+           WHEN m % 6 = 3 THEN
+             CASE m % 3 WHEN 0 THEN 'ENTRY' WHEN 1 THEN 'EXIT' ELSE 'UNSPECIFIED' END
+           WHEN m % 6 = 4 THEN
+             CASE WHEN m % 4 = 0 THEN 'EXIT' ELSE 'ENTRY' END
+           ELSE 'UNSPECIFIED' END AS span_kind,
+      CASE WHEN m % 4 IN (0, 1, 2) THEN 'GRPC'
+           WHEN m % 8 = 3 THEN 'HTTPS'
+           ELSE 'HTTP' END AS protocol
+    FROM e
+    """,
+    doc="E1 span-kind alias cascade + protocol detection "
+        "(SpanTypeAttributeEnricher.java:88-276): otel span_kind → OC "
+        "span.kind → Client flag → envoy operationname → Sent./Recv. name "
+        "prefix, each containsKey branch short-circuiting; protocol via "
+        "rpc.system / OT component / grpc.*-prefix scan, then http scheme, "
+        "then the http.*-prefix scan vetoed by grpc keys.",
+)
+def e_span_kind_aliases(spark, sf_dir):
+    e = _events_m(spark, sf_dir)
+    m = F.col("m")
+    otel_val = (
+        F.when(m % 5 == 0, "SERVER").when(m % 5 == 1, "CLIENT")
+        .when(m % 5 == 2, "PRODUCER").when(m % 5 == 3, "CONSUMER")
+        .otherwise("internal")
+    )
+    oc_val = F.lower(otel_val)
+    client_val = F.when(m % 3 == 0, "true").when(m % 3 == 1, "false").otherwise("maybe")
+    envoy_val = F.when(m % 3 == 0, "ingress").when(m % 3 == 1, "egress").otherwise("other")
+    op_name = (
+        F.when((m % 6 == 4) & (m % 4 == 0), "Sent.Svc.M")
+        .when(m % 6 == 4, "Recv.Svc.M")
+        .otherwise("plain")
+    )
+    df = e.withColumn("op_name", op_name).withColumn(
+        "tags",
+        _tags(
+            {
+                "span_kind": F.when(m % 6 == 0, otel_val),
+                "span.kind": F.when(m % 6 == 1, oc_val),
+                "Client": F.when(m % 6 == 2, client_val),
+                "operationname": F.when(m % 6 == 3, envoy_val),
+                "rpc.system": F.when(m % 4 == 0, F.lit("grpc")),
+                "component": F.when(m % 4 == 1, F.lit("gRPC")),
+                "grpc.authority": F.when(m % 4 == 2, F.lit("svc:50051")),
+                "http.scheme": F.when(m % 8 == 3, F.lit("https")),
+                "http.method": F.when(m % 8 == 7, F.lit("GET")),
+            }
+        ),
+    )
+    return df.select(
+        "event_id",
+        fg.span_kind_from_tags(F.col("tags"), F.col("op_name")).alias("span_kind"),
+        fg.protocol_from_tags(F.col("tags")).alias("protocol"),
+    )
