@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators import backend as be
 from .operators import spandom
 from .operators import trace_graph as tg
 from .queries import register
@@ -269,3 +270,130 @@ def v_service_call_edges(spark, sf_dir):
 )
 def v_raw_service_view(spark, sf_dir):
     return tg.raw_service_view(spandom.spans(spark, sf_dir))
+
+
+@register(
+    "e_backend_providers",
+    _W + """,
+    cand AS (
+      SELECT *, kv AS m FROM flags WHERE kind = 'EXIT' AND is_leaf
+    ),
+    resolved AS (
+      SELECT tenant_id, trace_id, span_id, service,
+        CASE WHEN m % 8 = 0 THEN 'HTTP' WHEN m % 8 = 1 THEN 'HTTPS'
+             WHEN m % 8 = 2 THEN 'GRPC' WHEN m % 8 = 3 THEN 'REDIS'
+             WHEN m % 8 = 4 THEN 'MONGO' WHEN m % 8 = 5 THEN 'JDBC'
+             WHEN m % 8 = 6 THEN 'KAFKA'
+             WHEN m % 8 = 7 AND m % 3 = 0 THEN 'RABBIT_MQ' END AS backend_type,
+        CASE WHEN m % 8 = 0 THEN
+               (CASE WHEN m % 16 = 0 THEN 'svc_0'
+                     ELSE 'bh' || CAST(m % 5 AS VARCHAR) || '.example.com' END)
+               || (CASE WHEN m % 3 = 1 THEN ':8080' ELSE '' END)
+             WHEN m % 8 = 1 THEN
+               (CASE WHEN m % 16 = 1 THEN 'svc_1'
+                     ELSE 'sh' || CAST(m % 5 AS VARCHAR) || '.example.com' END)
+               || (CASE WHEN m % 3 = 1 THEN ':9443' ELSE '' END)
+             WHEN m % 8 = 2 THEN
+               (CASE WHEN m % 16 = 2 THEN 'svc_2'
+                     ELSE 'gh' || CAST(m % 4 AS VARCHAR) END) || ':50051'
+             WHEN m % 8 = 3 THEN 'red' || CAST(m % 3 AS VARCHAR) || ':6379'
+             WHEN m % 8 = 4 THEN
+               CASE WHEN m % 16 = 4 THEN 'mg' || CAST(m % 3 AS VARCHAR) || ':27017'
+                    ELSE 'ad' || CAST(m % 3 AS VARCHAR) END
+             WHEN m % 8 = 5 THEN 'db' || CAST(m % 3 AS VARCHAR) || ':3306'
+             WHEN m % 8 = 6 THEN 'kb' || CAST(m % 3 AS VARCHAR) || ':9092'
+             WHEN m % 8 = 7 AND m % 3 = 0 THEN 'rk' || CAST(m % 4 AS VARCHAR)
+        END AS backend_uri
+      FROM cand
+    )
+    SELECT r.tenant_id, r.trace_id, r.span_id, r.service,
+           r.backend_type, r.backend_uri,
+           md5(r.backend_type || ':' || r.backend_uri) AS backend_id
+    FROM resolved r
+    WHERE r.backend_type IS NOT NULL AND r.backend_uri IS NOT NULL
+      AND NOT (r.backend_type IN ('HTTP', 'HTTPS', 'GRPC') AND EXISTS (
+        SELECT 1 FROM flags s
+        WHERE s.trace_id = r.trace_id
+          AND s.service = string_split(r.backend_uri, ':')[1]))
+    """,
+    doc="E8 backend provider chain (AbstractBackendEntityEnricher.java:"
+        "96-197, backend/provider/*.java): leaf-exit candidates, 10-provider "
+        "priority cascade with later-provider decoy keys, default-port "
+        "stripping for HTTP(S), JDBC authority parsing, and the equal-FQN "
+        "service rejection anti-join for HTTP/HTTPS/GRPC; identity = "
+        "md5(type:uri).",
+)
+def e_backend_providers(spark, sf_dir):
+    sp = spandom.spans(spark, sf_dir)
+    m = F.col("kv")
+
+    def s(c):
+        return c.cast("string")
+
+    http_base = F.when(m % 16 == 0, F.lit("svc_0")).otherwise(
+        F.concat(F.lit("bh"), s(m % 5), F.lit(".example.com"))
+    )
+    https_base = F.when(m % 16 == 1, F.lit("svc_1")).otherwise(
+        F.concat(F.lit("sh"), s(m % 5), F.lit(".example.com"))
+    )
+    tagged = sp.withColumn(
+        "tags",
+        F.map_filter(
+            F.create_map(
+                F.lit("http.method"), F.when(m % 8 == 0, F.lit("GET")),
+                F.lit("http.scheme"), F.when(m % 8 == 1, F.lit("https")),
+                F.lit("http.host"),
+                F.when(
+                    m % 8 == 0,
+                    F.concat(
+                        http_base,
+                        F.when(m % 3 == 0, ":80").when(m % 3 == 1, ":8080").otherwise(""),
+                    ),
+                ).when(
+                    m % 8 == 1,
+                    F.concat(
+                        https_base,
+                        F.when(m % 3 == 0, ":443").when(m % 3 == 1, ":9443").otherwise(""),
+                    ),
+                ),
+                F.lit("rpc.system"), F.when(m % 8 == 2, F.lit("grpc")),
+                F.lit("grpc.host_port"),
+                F.when(
+                    m % 8 == 2,
+                    F.concat(
+                        F.when(m % 16 == 2, F.lit("svc_2")).otherwise(
+                            F.concat(F.lit("gh"), s(m % 4))
+                        ),
+                        F.lit(":50051"),
+                    ),
+                ),
+                F.lit("db.system"),
+                F.when(m % 8 == 3, F.lit("redis"))
+                .when((m % 8 == 4) & (m % 16 != 4), F.lit("mongodb"))
+                .when(m % 8 == 5, F.lit("mysql")),
+                F.lit("redis.connection"),
+                F.when(m % 8 == 3, F.concat(F.lit("red"), s(m % 3), F.lit(":6379"))),
+                F.lit("mongo.url"),
+                F.when(m % 16 == 4, F.concat(F.lit("mg"), s(m % 3), F.lit(":27017"))),
+                F.lit("address"),
+                F.when((m % 8 == 4) & (m % 16 != 4), F.concat(F.lit("ad"), s(m % 3))),
+                # later-provider decoys: redis rows also carry a jdbc url,
+                # mongo rows a kafka system -- the earlier provider must win
+                F.lit("sql.url"),
+                F.when(
+                    (m % 8 == 5) | (m % 8 == 3),
+                    F.concat(F.lit("jdbc:mysql://db"), s(m % 3), F.lit(":3306/shop")),
+                ),
+                F.lit("messaging.system"),
+                F.when((m % 8 == 6) | ((m % 8 == 4) & (m % 2 == 0)), F.lit("kafka")).when(
+                    (m % 8 == 7) & (m % 3 == 0), F.lit("rabbitmq")
+                ),
+                F.lit("messaging.url"),
+                F.when(m % 8 == 6, F.concat(F.lit("kb"), s(m % 3), F.lit(":9092"))),
+                F.lit("messaging.rabbitmq.routing_key"),
+                F.when((m % 8 == 7) & (m % 3 == 0), F.concat(F.lit("rk"), s(m % 4))),
+            ),
+            lambda k, v: v.isNotNull(),
+        ),
+    )
+    return be.resolve_backends(tagged, "tags")
