@@ -30,6 +30,20 @@ LSH_BANDS = 16  # 16 bands × 4 rows — ~0.5 jaccard threshold knee
 SHINGLE_K = 3
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the source is narrower than the cluster.
+
+    A small-SF documents table is a single parquet file → one task → the
+    whole shingle/hash stage runs serially regardless of core count. At
+    real scale the scan already has thousands of splits and this is a
+    no-op (no extra shuffle)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def words(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
@@ -59,19 +73,33 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text",
-                      num_perm: int = MINHASH_PERMS) -> DataFrame:
+                      num_perm: int = MINHASH_PERMS,
+                      id_col: str = "doc_id") -> DataFrame:
     """MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i).
 
     Salted-hash permutations instead of (a*x+b) mod p — identical collision
-    statistics, pure JVM. Adds one array column; no shuffle."""
-    sh = shingles(text_col)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    statistics, pure JVM.
+
+    Plan shape (round-2 rewrite): explode the shingles ONCE and hash each
+    shingle row num_perm times as flat codegen'd columns, then take the 64
+    mins in one partial-agg shuffle keyed doc_id. The previous form — 64
+    ``array_min(transform(...))`` expressions — hashed every shingle inside
+    nested higher-order functions and generated codegen past the JIT
+    method limit (measured 10.6 s → interpreted path at sf0.1); the
+    explode+agg form stays inside whole-stage codegen and the shuffle
+    carries only (doc_id, 64 longs) after map-side combine. Docs with no
+    shingles (< k words) drop out here; they can never pass the exact
+    Jaccard filter anyway (0/0 union)."""
+    ex = docs.select(id_col, F.explode(shingles(text_col)).alias("s"))
+    mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
+    return (
+        ex.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("minhash"),
+        )
     )
-    return docs.withColumn("shingles", sh).withColumn("minhash", sig)
 
 
 def lsh_candidate_pairs(
@@ -112,7 +140,10 @@ def lsh_candidate_pairs(
         )
         .filter(F.col("_sz") <= max_bucket_size)
         .drop("_sz")
-        .cache()  # tiny (3 cols × docs × bands); reused by both join sides
+        # no cache: both self-join sides share an identical subplan, so
+        # Spark's ReuseExchange materializes the shuffle once — without
+        # the leaked executor storage a cache() would accumulate across
+        # repeated catalog/bench invocations (round-1 ADVICE).
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -142,18 +173,14 @@ def minhash_near_dups(
 
     Candidate generation runs on narrow (id, band) rows; the shingle arrays
     are joined back ONLY for the (few) candidate pairs — at 100 TB this is
-    the difference between shuffling ids and shuffling whole documents."""
-    base = docs.select(id_col, shingles(text_col).alias("sh")).cache()
-    signed = base.withColumn(
-        "minhash",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i))))
-                for i in range(MINHASH_PERMS)
-            ]
-        ),
-    )
+    the difference between shuffling ids and shuffling whole documents.
+    Nothing is cached: identical subplans (the two shingle sides, the two
+    band sides) dedupe through ReuseExchange, and a re-scan of a pruned
+    parquet column beats holding full shingle arrays in executor storage."""
+    docs = widen(docs.select(id_col, text_col))
+    signed = minhash_signature(docs, text_col, id_col=id_col)
     pairs = lsh_candidate_pairs(signed, id_col)
+    base = docs.select(id_col, shingles(text_col).alias("sh"))
     sh_a = base.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -178,7 +205,9 @@ def ngram_jaccard_pairs(
     (lang, source)) — the non-approximate baseline the LSH path is judged
     against. Shuffles once on the block key; pair count is bounded by the
     largest block, never all-pairs."""
-    base = docs.select(id_col, *block_cols, shingles(text_col).alias("sh"))
+    base = widen(docs.select(id_col, *block_cols, F.col(text_col))).select(
+        id_col, *block_cols, shingles(text_col).alias("sh")
+    )
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -205,7 +234,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     partial-agg shuffle on doc_id → fingerprint = Σ (vote_b > 0) << b.
     Near-dups then cluster by hamming distance on the fingerprint (e.g.
     band the 64 bits into 4×16 and bucket-join, same pattern as LSH)."""
-    exploded = docs.select(
+    exploded = widen(docs.select(id_col, F.col(text_col))).select(
         id_col, F.explode(words(text_col)).alias("w")
     ).withColumn("h", F.xxhash64("w"))
     votes = [

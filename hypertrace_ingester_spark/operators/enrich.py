@@ -106,15 +106,23 @@ def service_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
     return df.join(F.broadcast(dim), on="tenant_id", how="left")
 
 
+def status_state_heuristic() -> F.Column:
+    """Code-class fallback (HttpCodeMapper analog): 2xx/3xx → SUCCESS,
+    else FAIL. Used when no status dim exists and for rows whose dim
+    lookup misses in the fused path."""
+    return F.when(
+        F.col("status_code").startswith("2") | F.col("status_code").startswith("3"),
+        "SUCCESS",
+    ).otherwise("FAIL")
+
+
 @DEFAULT_REGISTRY.register("api_status")
 def status_enricher(df: DataFrame, ctx: EnrichContext) -> DataFrame:
     """ApiStatusEnricher analog (enrichers/ApiStatusEnricher.java:38-133):
     status code → SUCCESS/FAIL state + message via broadcast code table
     (util/HttpCodeMapper.java analog)."""
     if ctx.status_codes is None:
-        state = F.when(F.col("status_code").startswith("2") | F.col("status_code").startswith("3"),
-                       "SUCCESS").otherwise("FAIL")
-        return df.withColumn("status_state", state).withColumn(
+        return df.withColumn("status_state", status_state_heuristic()).withColumn(
             "status_message", F.lit(None).cast("string")
         )
     dim = ctx.status_codes.select(
@@ -203,11 +211,23 @@ def composite_dim(ctx: EnrichContext) -> DataFrame | None:
 def enrich_fused(df: DataFrame, ctx: EnrichContext) -> DataFrame:
     """Payload-friendly enrichment: one composite broadcast join + the
     non-join enrichers (error flag, token bucket, lang) as projections.
-    Falls back to the sequential registry when any dim is missing."""
+    Falls back to the sequential registry when any dim is missing.
+
+    Open-world safety: the composite key is (tenant, operation, status);
+    a row whose (tenant, operation) is absent from the endpoint dim misses
+    the WHOLE composite row, which would silently null its status columns
+    (the sequential registry stamps status from the independent code dim).
+    status_state therefore coalesces to the code-class heuristic and
+    error_count derives from the final state, so status/error enrichment
+    never depends on endpoint-dim coverage. api/service/status_message do
+    require dim coverage — identical to the sequential left joins."""
     dim = composite_dim(ctx)
     if dim is None:
         return enrich(df, ctx)
     out = df.join(F.broadcast(dim), on=["tenant_id", "operation", "status_code"], how="left")
+    out = out.withColumn(
+        "status_state", F.coalesce(F.col("status_state"), status_state_heuristic())
+    )
     out = error_enricher(out, ctx)
     out = token_stats_enricher(out, ctx)
     out = lang_enricher(out, ctx)

@@ -57,14 +57,17 @@ def fan_out(routed: DataFrame, out_dir: str,
     where downstream readers want big files."""
     df = routed if salt_buckets is None else salted_repartition(routed, "sink", salt_buckets)
     # tokens kept verbatim — per-row token-array equality is the invariant.
-    # Dictionary encoding is disabled for the token payload column: random
-    # token ids never fit a dictionary, so the encoder always overflows and
-    # falls back — pure CPU waste on the widest column (~2x write cost).
+    # Dictionary encoding is disabled FOR THE TOKEN COLUMN ONLY (parquet-mr
+    # per-column config "parquet.enable.dictionary#tokens.list.element"):
+    # random token ids never fit a dictionary, so the encoder always
+    # overflows and falls back — pure CPU waste on the widest column.
+    # Narrow columns (sink/tenant/operation) keep dictionaries.
     # parquet v2 data pages: delta/packed int encodings encode the token
     # column ~35% faster than v1 at identical size (measured)
     (
         df.write.mode("overwrite")
         .option("parquet.writer.version", "v2")
+        .option("parquet.enable.dictionary#tokens.list.element", "false")
         .partitionBy("sink")
         .parquet(out_dir)
     )

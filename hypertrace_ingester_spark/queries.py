@@ -119,7 +119,8 @@ def p_drop_filter(spark, sf_dir):
     f"""
     SELECT event_id, event_type, k_val
     FROM ({_EVENTS_SQL})
-    WHERE NOT (event_type = 'view' AND (k_val < 10 OR k_val >= 90))
+    WHERE NOT (event_type = 'view'
+               AND (COALESCE(k_val < 10, FALSE) OR COALESCE(k_val >= 90, FALSE)))
     """,
     doc="P6 — exclude-rule AST (AND/OR tree) compiled recursively to a "
         "Catalyst Column (ExcludeSpanRuleEvaluator.java:42-115).",
@@ -310,9 +311,12 @@ def g_peer_correlation(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("k_val").alias("peer_key"))
     )
+    # clients is a per-user aggregate of the fact table — it grows with user
+    # count, not a bounded dim, so no broadcast hint: AQE broadcasts while
+    # it fits and falls back to shuffle join at scale.
     return (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(clients), on="user_id")
+        .join(clients, on="user_id")
         .select("event_id", "user_id", "peer_key")
     )
 
@@ -372,9 +376,13 @@ def e_multihop_dims(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # Broadcast only the true dims (nation/region always; customer while it
+    # fits under the threshold). orders is fact-sized — a forced broadcast
+    # OOMs at 100x scale; AQE picks shuffle-hash for lineitem x orders and
+    # will still broadcast it at small SF where it fits.
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))

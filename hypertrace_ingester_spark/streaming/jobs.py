@@ -123,15 +123,52 @@ def _capped_session_fn(max_events: int, gap_ms: int):
             )
             return
         n, start_ms, end_ms = state.get if state.exists else (0, None, None)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            ts = pdf["ts_ms"]
-            n += len(pdf)
-            start_ms = int(ts.min()) if start_ms is None else min(start_ms, int(ts.min()))
-            end_ms = int(ts.max()) if end_ms is None else max(end_ms, int(ts.max()))
+        # Gap-splitting on EVENT time: incoming timestamps are sorted and
+        # folded into sessions; any inter-event gap > gap_ms closes the
+        # running session immediately (emitted below) — matching batch
+        # group.sessionize, where replayed history splits by its own
+        # timestamps instead of waiting for wall-clock timeouts.
+        import numpy as np
+
+        ts_parts = [pdf["ts_ms"].to_numpy() for pdf in pdfs if len(pdf)]
+        closed: list[tuple[int, int, int]] = []
+        if ts_parts:
+            ts = np.sort(np.concatenate(ts_parts))
+            if end_ms is not None and int(ts[0]) - end_ms > gap_ms:
+                closed.append((n, start_ms, end_ms))
+                n, start_ms, end_ms = 0, None, None
+            splits = np.flatnonzero(np.diff(ts) > gap_ms) + 1
+            segments = np.split(ts, splits)
+            for seg in segments[:-1]:
+                if n:  # merge running state into the first segment
+                    closed.append(
+                        (n + len(seg), min(start_ms, int(seg[0])), int(seg[-1]))
+                    )
+                    n, start_ms, end_ms = 0, None, None
+                else:
+                    closed.append((len(seg), int(seg[0]), int(seg[-1])))
+            last = segments[-1]
+            n += len(last)
+            start_ms = int(last[0]) if start_ms is None else min(start_ms, int(last[0]))
+            end_ms = int(last[-1]) if end_ms is None else max(end_ms, int(last[-1]))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "n_events": [min(c[0], max_events) for c in closed],
+                    "session_start_ms": [c[1] for c in closed],
+                    "session_end_ms": [c[2] for c in closed],
+                    "truncated": [c[0] > max_events for c in closed],
+                }
+            )
         state.update((n, start_ms, end_ms))
-        state.setTimeoutDuration(gap_ms)
+        # EVENT-time inactivity gap: the session closes when the stream's
+        # watermark passes (max observed event time + gap) — replayed
+        # historical data sessions split by their own timestamps, and a
+        # continuously-arriving key still closes once its EVENT times go
+        # quiet. (A ProcessingTimeTimeout here would make the gap
+        # wall-clock inactivity — divergent from batch group.sessionize.)
+        state.setTimeoutTimestamp(end_ms + gap_ms)
         yield pd.DataFrame(
             {
                 "user_id": pd.Series([], dtype="int64"),
@@ -150,18 +187,25 @@ def sessionize_with_state(
     max_events: int = 1000,
     gap_ms: int = 30 * 60 * 1000,
     group_col: str = "user_id",
+    watermark: str = "10 seconds",
 ) -> DataFrame:
     """Streaming session assembly with per-group caps via
     ``applyInPandasWithState`` — RawSpansProcessor's span store + cap +
     TraceEmitPunctuator collapsed into one Arrow-vectorized stateful op.
 
+    EVENT-time timeouts (watermark-driven), so the 30-minute "session gap"
+    means inactivity in event time — equivalent to the batch
+    group.sessionize it mirrors, including on replayed historical data.
+
     Requires a streaming DataFrame with columns (user_id, ts_ms); update
-    output mode. The batch equivalent is group.sessionize + cap_rows_per_group.
-    """
-    return events.groupBy(group_col).applyInPandasWithState(
+    output mode."""
+    with_ts = events.withColumn(
+        "_event_ts", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("_event_ts", watermark)
+    return with_ts.groupBy(group_col).applyInPandasWithState(
         _capped_session_fn(max_events, gap_ms),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -79,3 +79,57 @@ def test_streaming_metrics(spark, stream_events):
     res = spark.sql("select * from metrics_out").collect()
     # first 1h bucket (both users' session-0 events) must have closed: 6 rows
     assert any(r["num_rows"] == 6 for r in res), res
+
+
+def test_sessionize_with_state_event_time(spark, tmp_path):
+    """Custom stateful sessionizer: EVENT-time gap closes the first session
+    of each user once later events push the watermark past end+gap; the
+    per-session cap marks truncation (RawSpansProcessor cap analog).
+
+    Event-time timeouts fire at the START of a batch against the watermark
+    of the PREVIOUS batch, so the stream is delivered as 3 ordered
+    micro-batches (session-0 events, session-1 events 2h later, a dummy
+    watermark-pusher) via maxFilesPerTrigger=1."""
+    import time as _time
+
+    from hypertrace_ingester_spark.streaming.jobs import sessionize_with_state
+
+    base = 1_700_000_000_000
+    schema = "event_id long, ts_ms long, user_id long, event_type string"
+    path = str(tmp_path / "state_stream_in")
+    batches = [
+        [(u * 100 + i, base + i * 60_000, u, "click") for u in (1, 2) for i in range(3)],
+        [(u * 100 + 10 + i, base + 7_200_000 + i * 60_000, u, "click")
+         for u in (1, 2) for i in range(3)],
+        [(999, base + 36_000_000, 99, "click")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = sessionize_with_state(
+        stream, max_events=2, gap_ms=30 * 60 * 1000, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from state_sessions").collect()
+    # first session per user closes (batch-2 events advanced the watermark
+    # 2h; timeouts fire at the start of batch 3); open sessions stay unsent
+    by_user = {r["user_id"]: r for r in res}
+    assert set(by_user) == {1, 2}
+    for r in res:
+        assert r["n_events"] == 2  # capped from 3
+        assert bool(r["truncated"])
+        assert r["session_end_ms"] - r["session_start_ms"] == 120_000
