@@ -22,7 +22,9 @@ import time
 
 from hypertrace_ingester_spark import datagen
 from hypertrace_ingester_spark.plans.pipeline import PipelineConfig, run_pipeline
-from hypertrace_ingester_spark.queries import REGISTRY
+from hypertrace_ingester_spark.queries import REGISTRY, _load_extensions
+
+_load_extensions()
 from hypertrace_ingester_spark.session import get_spark
 
 HEADLINE = [
@@ -43,6 +45,12 @@ HEADLINE = [
     "d_simhash",
     "s_knn_bruteforce",
     "s_ann_lsh",
+    # round-2 span-domain + field-extraction additions
+    "g_api_nodes",
+    "v_span_event_full",
+    "v_service_call_edges",
+    "e_backend_providers",
+    "p_http_fields",
 ]
 
 

@@ -30,18 +30,7 @@ LSH_BANDS = 16  # 16 bands × 4 rows — ~0.5 jaccard threshold knee
 SHINGLE_K = 3
 
 
-def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition ONLY when the source is narrower than the cluster.
-
-    A small-SF documents table is a single parquet file → one task → the
-    whole shingle/hash stage runs serially regardless of core count. At
-    real scale the scan already has thousands of splits and this is a
-    no-op (no extra shuffle)."""
-    spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ..sources import widen  # single-file small-SF scans → cluster width
 
 
 def words(text_col: str = "text") -> Column:

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, widen
 
 # ---------------------------------------------------------------------------
 # Spark side
@@ -57,7 +57,7 @@ _KIND = {
 def spans(spark, sf_dir: str) -> DataFrame:
     """events → span rows with parent links and API-boundary flags."""
     e = (
-        load_table(spark, sf_dir, "events")
+        widen(load_table(spark, sf_dir, "events"))
         .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
         .withColumn("kv", F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0)))
     )

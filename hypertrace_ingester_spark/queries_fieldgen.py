@@ -25,9 +25,9 @@ _E_SQL = (
 
 
 def _events_m(spark, sf_dir):
-    from .sources import load_table
+    from .sources import load_table, widen
 
-    return load_table(spark, sf_dir, "events").select(
+    return widen(load_table(spark, sf_dir, "events")).select(
         "event_id",
         F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0)).alias("m"),
     )

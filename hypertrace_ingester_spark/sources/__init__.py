@@ -28,3 +28,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the source is narrower than the cluster.
+
+    A small-SF table is typically one parquet file → one input split → a
+    compute-heavy stage (regex extraction, shingle hashing) runs serially
+    regardless of core count. At real scale the scan already has thousands
+    of splits and this is a no-op (no extra shuffle)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
