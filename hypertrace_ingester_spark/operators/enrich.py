@@ -232,3 +232,38 @@ def enrich_fused(df: DataFrame, ctx: EnrichContext) -> DataFrame:
     out = token_stats_enricher(out, ctx)
     out = lang_enricher(out, ctx)
     return out
+
+
+def space_ids(df: DataFrame, rules: DataFrame, tags_col: str = "tags",
+              trace_col: str = "trace_id") -> DataFrame:
+    """SpaceEnricher (enrichers/space/SpaceEnricher.java:40-66,
+    SpaceRuleEvaluator.java): per-span space_ids = the span's values of the
+    tenant's rule-selected attribute keys (non-empty, distinct); per-trace
+    space_ids = distinct union over the trace's spans.
+
+    ``rules``: (tenant_id, rule_order, attr_key) — the tenant-scoped rule
+    table, broadcast-joined (the reference's config-service cache). Arrays
+    are emitted SORTED for engine-independent comparison (the reference
+    preserves first-occurrence order, which is arrival-dependent)."""
+    from pyspark.sql import Window
+
+    per_tenant = rules.groupBy("tenant_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rule_order", "attr_key"))),
+            lambda s: s["attr_key"],
+        ).alias("rule_keys")
+    )
+    joined = df.join(F.broadcast(per_tenant), on="tenant_id", how="left")
+    values = F.transform(
+        F.coalesce(F.col("rule_keys"), F.array().cast("array<string>")),
+        lambda k: F.element_at(F.col(tags_col), k),
+    )
+    span_spaces = F.array_sort(
+        F.array_distinct(F.filter(values, lambda v: v.isNotNull() & (v != "")))
+    )
+    out = joined.withColumn("span_space_ids", span_spaces).drop("rule_keys")
+    w = Window.partitionBy(trace_col)
+    return out.withColumn(
+        "trace_space_ids",
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("span_space_ids").over(w)))),
+    )

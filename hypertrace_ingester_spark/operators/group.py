@@ -124,3 +124,57 @@ def assemble_groups(
             F.max(ts_ms_col).alias("end_ms"),
         )
     )
+
+
+def peer_ip_correlation(
+    spans,
+    tuple_cols=("tenant_id", "env", "host_addr", "peer_addr", "peer_port"),
+    client_kind: str = "EXIT",
+    server_kind: str = "ENTRY",
+):
+    """Peer-service correlation on the composite IP-tuple key
+    (raw-spans-grouper/.../RawSpansProcessor.java:249-333).
+
+    Client spans publish PeerIdentity(tenant, environment, host_addr,
+    peer_addr, peer_port) → their service name; server spans look up with
+    the addresses SWAPPED (their peer addr as host_addr, their host addr as
+    peer_addr, their host port as the port) and stamp PEER_SERVICE_NAME.
+    Tuples with any null member are invalid (IpIdentityValidator) and
+    neither publish nor match. The reference's state store is last-writer-
+    wins; batch determinism picks the max span_id per tuple (documented
+    divergence from arrival order, which is undefined in batch).
+
+    One broadcast/shuffle hash join keyed by the 5-tuple — the exact
+    relational form of the RocksDB keyed lookup; AQE broadcasts the client
+    dim while it fits.
+    """
+    from pyspark.sql import functions as F
+
+    t, e, h, p, pp = tuple_cols
+    valid = None
+    for c in (t, e, h, p, pp):
+        cond = F.col(c).isNotNull()
+        valid = cond if valid is None else valid & cond
+    clients = (
+        spans.filter((F.col("kind") == client_kind) & valid)
+        .groupBy(t, e, h, p, pp)
+        .agg(F.max_by("service", "span_id").alias("peer_service"))
+        .select(
+            F.col(t).alias("c_t"), F.col(e).alias("c_e"),
+            F.col(h).alias("c_h"), F.col(p).alias("c_p"),
+            F.col(pp).alias("c_pp"), "peer_service",
+        )
+    )
+    servers = spans.filter((F.col("kind") == server_kind) & valid)
+    # swapped-key join: server.(peer_addr, host_addr, host_port) against
+    # client.(host_addr, peer_addr, peer_port)
+    cond = (
+        (servers[t] == F.col("c_t"))
+        & (servers[e] == F.col("c_e"))
+        & (servers[p] == F.col("c_h"))   # server peer == client host
+        & (servers[h] == F.col("c_p"))   # server host == client peer
+        & (servers[pp] == F.col("c_pp"))
+    )
+    return servers.join(clients, cond, "left").select(
+        t, "trace_id", "span_id", "service", "peer_service"
+    )

@@ -397,3 +397,125 @@ def e_backend_providers(spark, sf_dir):
         ),
     )
     return be.resolve_backends(tagged, "tags")
+
+
+@register(
+    "g_peer_ip_correlation",
+    _W + """,
+    net AS (
+      SELECT f.*, 'env_' || CAST(kv % 2 AS VARCHAR) AS env,
+        CASE WHEN kind = 'EXIT' AND kv % 5 <> 0 THEN 'h' || CAST(kv % 6 AS VARCHAR)
+             WHEN kind = 'ENTRY' THEN 'p' || CAST(kv % 6 AS VARCHAR) END AS host_addr,
+        CASE WHEN kind = 'EXIT' THEN 'p' || CAST(kv % 6 AS VARCHAR)
+             WHEN kind = 'ENTRY' AND kv % 7 <> 0
+                  THEN 'h' || CAST(kv % 6 AS VARCHAR) END AS peer_addr,
+        CAST(8000 + kv % 3 AS BIGINT) AS peer_port
+      FROM flags f
+    ),
+    cl AS (
+      SELECT tenant_id, env, host_addr, peer_addr, peer_port,
+             arg_max(service, span_id) AS peer_service
+      FROM net
+      WHERE kind = 'EXIT' AND host_addr IS NOT NULL AND peer_addr IS NOT NULL
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT s.tenant_id, s.trace_id, s.span_id, s.service, cl.peer_service
+    FROM net s
+    LEFT JOIN cl ON cl.tenant_id = s.tenant_id AND cl.env = s.env
+                AND cl.host_addr = s.peer_addr AND cl.peer_addr = s.host_addr
+                AND cl.peer_port = s.peer_port
+    WHERE s.kind = 'ENTRY' AND s.host_addr IS NOT NULL AND s.peer_addr IS NOT NULL
+    """,
+    doc="G4 peer-service correlation on the composite IP tuple "
+        "(RawSpansProcessor.java:249-333): client spans publish "
+        "(tenant, env, host, peer, port) -> service; server spans look up "
+        "with swapped addresses; null tuple members are invalid "
+        "(IpIdentityValidator); last-writer state-store put resolved "
+        "deterministically as max span_id.",
+)
+def g_peer_ip_correlation(spark, sf_dir):
+    from .operators import group as grp
+
+    sp = spandom.spans(spark, sf_dir)
+    m = F.col("kv")
+    s = lambda c: c.cast("string")  # noqa: E731
+    net = (
+        sp.withColumn("env", F.concat(F.lit("env_"), s(m % 2)))
+        .withColumn(
+            "host_addr",
+            F.when(
+                (F.col("kind") == "EXIT") & (m % 5 != 0), F.concat(F.lit("h"), s(m % 6))
+            ).when(F.col("kind") == "ENTRY", F.concat(F.lit("p"), s(m % 6))),
+        )
+        .withColumn(
+            "peer_addr",
+            F.when(F.col("kind") == "EXIT", F.concat(F.lit("p"), s(m % 6))).when(
+                (F.col("kind") == "ENTRY") & (m % 7 != 0), F.concat(F.lit("h"), s(m % 6))
+            ),
+        )
+        .withColumn("peer_port", (F.lit(8000) + m % 3).cast("long"))
+    )
+    return grp.peer_ip_correlation(net)
+
+
+@register(
+    "e_space_ids",
+    _W + """,
+    sp_env AS (
+      SELECT trace_id, span_id, tenant_id, kv,
+             'env_' || CAST(kv % 3 AS VARCHAR) AS env_val,
+             CASE WHEN kv % 2 = 0 THEN 'team_' || CAST(kv % 4 AS VARCHAR) END AS team_val
+      FROM flags
+    ),
+    vals AS (
+      SELECT trace_id, env_val AS v FROM sp_env
+      UNION ALL
+      SELECT trace_id, team_val FROM sp_env
+      WHERE team_val IS NOT NULL AND tenant_id <= 2
+    ),
+    tr AS (
+      SELECT trace_id, string_agg(DISTINCT v, ',' ORDER BY v) AS trace_spaces
+      FROM vals GROUP BY trace_id
+    )
+    SELECT e.tenant_id, e.trace_id, e.span_id,
+           CASE WHEN e.tenant_id <= 2 AND e.kv % 2 = 0
+                THEN e.env_val || ',' || e.team_val
+                ELSE e.env_val END AS span_spaces,
+           tr.trace_spaces
+    FROM sp_env e JOIN tr ON tr.trace_id = e.trace_id
+    """,
+    doc="E11 space enrichment (SpaceEnricher.java:40-66): per-span space "
+        "ids = the span's values of the tenant's rule-selected attribute "
+        "keys (rules broadcast per tenant, missing/empty values filtered); "
+        "trace space ids = distinct union over the trace; arrays emitted "
+        "sorted for engine-independent comparison.",
+)
+def e_space_ids(spark, sf_dir):
+    from .operators import enrich as en
+
+    sp = spandom.spans(spark, sf_dir)
+    m = F.col("kv")
+    tagged = sp.withColumn(
+        "tags",
+        F.map_filter(
+            F.create_map(
+                F.lit("space.env"),
+                F.concat(F.lit("env_"), (m % 3).cast("string")),
+                F.lit("space.team"),
+                F.when(m % 2 == 0, F.concat(F.lit("team_"), (m % 4).cast("string"))),
+            ),
+            lambda k, v: v.isNotNull(),
+        ),
+    )
+    rules = spark.createDataFrame(
+        [(t, 0, "space.env") for t in range(5)]
+        + [(t, 1, "space.team") for t in range(3)]
+        + [(t, 1, "space.missing") for t in (3, 4)],
+        "tenant_id long, rule_order int, attr_key string",
+    )
+    out = en.space_ids(tagged, rules)
+    return out.select(
+        "tenant_id", "trace_id", "span_id",
+        F.concat_ws(",", F.col("span_space_ids")).alias("span_spaces"),
+        F.concat_ws(",", F.col("trace_space_ids")).alias("trace_spaces"),
+    )
