@@ -129,10 +129,15 @@ def lsh_candidate_pairs(
         )
         .filter(F.col("_sz") <= max_bucket_size)
         .drop("_sz")
-        # no cache: both self-join sides share an identical subplan, so
-        # Spark's ReuseExchange materializes the shuffle once — without
-        # the leaked executor storage a cache() would accumulate across
-        # repeated catalog/bench invocations (round-1 ADVICE).
+        # localCheckpoint (NOT cache): the signature agg is the dominant
+        # cost and AQE may broadcast one side of the self-join, which
+        # defeats ReuseExchange and recomputes it per side. Checkpointing
+        # the NARROW banded frame (id + 2 longs × bands) materializes it
+        # once and truncates lineage; unlike .cache() the blocks are
+        # cleaned by the ContextCleaner when the plan is GC'd, so repeated
+        # catalog/bench invocations don't leak executor storage
+        # (round-1 ADVICE).
+        .localCheckpoint(eager=False)
     )
     a = banded.alias("a")
     b = banded.alias("b")
