@@ -400,3 +400,140 @@ def e_span_kind_aliases(spark, sf_dir):
         fg.span_kind_from_tags(F.col("tags"), F.col("op_name")).alias("span_kind"),
         fg.protocol_from_tags(F.col("tags")).alias("protocol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P3/P4 — tag-key lowercasing (last-wins) + allowlist filter
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_tag_normalize",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT event_id,
+      CASE WHEN m % 2 = 0
+           THEN 'env=w' || CAST(m % 5 AS VARCHAR)
+                || ',http.method=GET,x-b3-traceid=t' || CAST(m % 7 AS VARCHAR)
+           ELSE 'env=v' || CAST(m % 3 AS VARCHAR)
+                || ',http.method=GET,x-b3-traceid=t' || CAST(m % 7 AS VARCHAR)
+      END AS tags_kv
+    FROM e
+    """,
+    doc="P3+P4 — lowercase tag keys with last-wins dedup (HashMap.put "
+        "semantics, JaegerSpanPreProcessor.java:100-106; "
+        "spark.sql.mapKeyDedupPolicy=LAST_WIN) then the allowlist filter: "
+        "keep iff no allowed prefix matches OR key explicitly allowlisted "
+        "(TagsFilter.java:65-100). 'Env' and 'env' collide after lowering "
+        "(later entry wins); 'internal.secret' is prefix-dropped; "
+        "'x-b3-traceid' matches a dropped prefix but is allowlisted.",
+)
+def p_tag_normalize(spark, sf_dir):
+    from .operators import parse as parse_ops
+
+    e = _events_m(spark, sf_dir)
+    m = F.col("m")
+    df = e.withColumn(
+        "attributes",
+        _tags(
+            {
+                "Env": F.concat(F.lit("v"), _s(m % 3)),
+                "env": F.when(m % 2 == 0, F.concat(F.lit("w"), _s(m % 5))),
+                "HTTP.Method": F.lit("GET"),
+                "internal.secret": F.lit("s"),
+                "x-b3-traceid": F.concat(F.lit("t"), _s(m % 7)),
+            }
+        ),
+    )
+    df = parse_ops.normalize_tags(df)
+    df = parse_ops.filter_tags(
+        df, allowed_prefixes=["internal.", "x-b3-"], allowlist=["x-b3-traceid"]
+    )
+    return df.select("event_id", _kv_string(F.col("attributes")).alias("tags_kv"))
+
+
+@register(
+    "p_rate_limit",
+    f"""
+    WITH e AS ({_E_SQL}),
+    ranked AS (
+      SELECT e.event_id, e.m % 5 AS tenant_id,
+             row_number() OVER (PARTITION BY e.m % 5, ev.event_type
+                                ORDER BY epoch_ms(ev.ts), e.event_id) AS rn
+      FROM e JOIN events ev ON ev.event_id = e.event_id
+    )
+    SELECT event_id, tenant_id FROM ranked WHERE rn <= 50
+    """,
+    doc="P7 — per-(tenant, type) rate limiting: the token bucket collapses "
+        "to 'first N rows per key' on bounded input "
+        "(RateLimitingSpanFilter.java:1-60); one shuffle on the key.",
+)
+def p_rate_limit(spark, sf_dir):
+    from .operators import parse as parse_ops
+    from .sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        (F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0)) % 5).alias(
+            "tenant_id"
+        ),
+    )
+    out = parse_ops.rate_limit_per_key(
+        ev, key_cols=["tenant_id", "event_type"], order_cols=["ts_ms", "event_id"], limit=50
+    )
+    return out.select("event_id", "tenant_id")
+
+
+# ---------------------------------------------------------------------------
+# E10 — user-agent parsing
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_user_agent",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT event_id,
+      CASE m % 8 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' WHEN 2 THEN 'Firefox'
+                 WHEN 3 THEN 'Edge' WHEN 4 THEN 'curl' WHEN 5 THEN 'Googlebot'
+                 WHEN 6 THEN 'python-requests' END AS ua_family,
+      CASE m % 8 WHEN 0 THEN 'browser' WHEN 1 THEN 'browser' WHEN 2 THEN 'browser'
+                 WHEN 3 THEN 'browser' WHEN 4 THEN 'tool' WHEN 5 THEN 'bot'
+                 WHEN 6 THEN 'tool' END AS ua_type,
+      CASE m % 8 WHEN 0 THEN CAST(100 + m % 20 AS VARCHAR) || '.0'
+                 WHEN 1 THEN CAST(14 + m % 3 AS VARCHAR) || '.1'
+                 WHEN 2 THEN CAST(90 + m % 10 AS VARCHAR) || '.0'
+                 WHEN 3 THEN CAST(99 + m % 5 AS VARCHAR) || '.0'
+                 WHEN 4 THEN CAST(7 + m % 2 AS VARCHAR) || '.68.0'
+                 WHEN 5 THEN '2.1'
+                 WHEN 6 THEN '2.' || CAST(m % 30 AS VARCHAR) END AS ua_version,
+      CASE m % 8 WHEN 0 THEN 'Windows' WHEN 1 THEN 'macOS' WHEN 2 THEN 'Linux'
+                 WHEN 3 THEN 'iOS' END AS ua_os
+    FROM e
+    """,
+    doc="E10 — user-agent parsing (UserAgentSpanEnricher.java:27-68): "
+        "vectorized regex rule table (first-match precedence, uap-core "
+        "shape) over deterministically composed UA strings; oracle "
+        "restates family/type/version/os from the composition arithmetic.",
+)
+def p_user_agent(spark, sf_dir):
+    from .functions import ua as ua_mod
+
+    e = _events_m(spark, sf_dir)
+    m = F.col("m")
+    ua = (
+        F.when(m % 8 == 0, F.concat(F.lit("Mozilla/5.0 (Windows NT 10.0) Chrome/"),
+                                    _s(100 + m % 20), F.lit(".0")))
+        .when(m % 8 == 1, F.concat(F.lit("Mozilla/5.0 (Macintosh; Mac OS X 10_15) Version/"),
+                                   _s(14 + m % 3), F.lit(".1 Safari/605")))
+        .when(m % 8 == 2, F.concat(F.lit("Mozilla/5.0 (X11; Linux x86_64) Firefox/"),
+                                   _s(90 + m % 10), F.lit(".0")))
+        .when(m % 8 == 3, F.concat(F.lit("Mozilla/5.0 (iPhone) Edg/"),
+                                   _s(99 + m % 5), F.lit(".0")))
+        .when(m % 8 == 4, F.concat(F.lit("curl/"), _s(7 + m % 2), F.lit(".68.0")))
+        .when(m % 8 == 5, F.lit("Googlebot/2.1"))
+        .when(m % 8 == 6, F.concat(F.lit("python-requests/2."), _s(m % 30)))
+        .otherwise(F.lit("weird-agent"))
+    )
+    df = e.select("event_id", ua.alias("user_agent"))
+    out = ua_mod.parse_user_agents(df)
+    return out.select("event_id", "ua_family", "ua_type", "ua_version", "ua_os")

@@ -61,6 +61,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # Tag-key lowercasing (P3) can produce duplicate map keys; the
+        # reference's HashMap.put is last-wins (JaegerSpanPreProcessor
+        # .java:100-106). Spark's default policy EXCEPTIONs instead.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # Broadcast threshold generous: every enrichment dim is a small table.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
