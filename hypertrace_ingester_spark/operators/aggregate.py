@@ -68,3 +68,26 @@ def operational_counters(parsed_with_flags: DataFrame) -> DataFrame:
                   .otherwise(0)).alias("bypass"),
         )
     )
+
+
+def to_otlp_gauges(metrics: DataFrame, value_col: str = "num_rows",
+                   metric_name: str = "num_calls",
+                   attr_cols: tuple[str, ...] = ("event_type",),
+                   bucket_col: str = "bucket_start_ms") -> DataFrame:
+    """A3 — OTLP conversion (MetricEmitPunctuator.java:78-131): each
+    windowed count becomes one flattened ResourceMetrics gauge data point:
+    metric name, time_unix_nano (window start), double value, and the
+    attribute tuple serialized as sorted k=v pairs (the protobuf KeyValue
+    list analog)."""
+    attrs = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.array(*[F.concat(F.lit(c + "="), F.col(c).cast("string")) for c in attr_cols])
+        ),
+    )
+    return metrics.select(
+        F.lit(metric_name).alias("metric_name"),
+        (F.col(bucket_col).cast("long") * 1_000_000).alias("time_unix_nano"),
+        F.col(value_col).cast("double").alias("gauge_value"),
+        attrs.alias("attributes_kv"),
+    )

@@ -390,3 +390,117 @@ def protocol_from_tags(tags: Column) -> Column:
         .when(has_http_prefix & ~has_grpc_prefix, "HTTP")
         .otherwise("UNSPECIFIED")
     )
+
+
+# ---------------------------------------------------------------------------
+# E15 — GrpcAttributeEnricher (enrichers/GrpcAttributeEnricher.java:21-48)
+# ---------------------------------------------------------------------------
+
+def _sanitize_path(c: Column) -> Column:
+    """RpcSemanticConventionUtils.sanitizePath: split on '/', drop empties,
+    join with '.' — '/pkg.Svc/M1' → 'pkg.Svc.M1'; blank → null."""
+    joined = F.array_join(
+        F.filter(F.split(F.trim(c), "/"), lambda x: x != ""), "."
+    )
+    return F.when(c.isNotNull() & (F.trim(c) != ""), joined)
+
+
+def grpc_request_endpoint(tags: Column, op_name: Column) -> Column:
+    """RpcSemanticConventionUtils.getGrpcRequestEndpoint (:509-539):
+    Recv./Sent.-prefixed event name → stripped name; else
+    rpc.request.metadata.:path (sanitized) → rpc.service '.' rpc.method →
+    http.request.header.:path (sanitized) → grpc.path (sanitized) →
+    event name."""
+    stripped = F.when(
+        op_name.startswith("Recv.") | op_name.startswith("Sent."),
+        F.when(F.trim(op_name.substr(F.lit(6), F.length(op_name))) != "",
+               F.trim(op_name.substr(F.lit(6), F.length(op_name)))),
+    )
+    svc = F.element_at(tags, "rpc.service")
+    mth = F.element_at(tags, "rpc.method")
+    rpc_path = F.when(
+        svc.isNotNull() & (F.trim(svc) != "") & mth.isNotNull() & (F.trim(mth) != ""),
+        F.concat(svc, F.lit("."), mth),
+    )
+    return F.when(
+        op_name.startswith("Recv.") | op_name.startswith("Sent."), stripped
+    ).otherwise(
+        F.coalesce(
+            _sanitize_path(F.element_at(tags, "rpc.request.metadata.:path")),
+            rpc_path,
+            _sanitize_path(F.element_at(tags, "http.request.header.:path")),
+            _sanitize_path(F.element_at(tags, "grpc.path")),
+            op_name,
+        )
+    )
+
+
+def grpc_request_url(tags: Column, op_name: Column, kind: Column) -> Column:
+    """E15: 'Recv.'/'Sent.'-prefixed request url for GRPC spans
+    (GrpcAttributeEnricher.java:21-48); null for non-GRPC spans."""
+    endpoint = grpc_request_endpoint(tags, op_name)
+    prefix = (
+        F.when(kind == "ENTRY", "Recv.").when(kind == "EXIT", "Sent.").otherwise("")
+    )
+    return F.when(
+        (protocol_from_tags(tags) == "GRPC") & endpoint.isNotNull(),
+        F.concat(prefix, endpoint),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P13 — dispatcher (FieldsGenerator.java:69-105): every tag key routes to
+# its protocol generator; unclaimed keys land in the attribute bag.
+# ---------------------------------------------------------------------------
+
+_CLAIMED_EXACT = set(
+    HTTP_URL_KEYS + HTTP_METHOD_KEYS + HTTP_USER_AGENT_KEYS + HTTP_PATH_KEYS
+    + HTTP_REQUEST_SIZE_KEYS + HTTP_RESPONSE_SIZE_KEYS + HTTP_STATUS_CODE_KEYS
+    + GRPC_STATUS_CODE_KEYS + GRPC_STATUS_MESSAGE_KEYS + GRPC_METHOD_KEYS
+    + SQL_QUERY_KEYS + SQL_DB_TYPE_KEYS
+    + DECLARED_REQUEST_HEADER_KEYS + DECLARED_RESPONSE_HEADER_KEYS
+    + [
+        "http.scheme", "http.host", "http.target", "http.request.body",
+        "http.response.body", "http.request.body.truncated",
+        "http.response.body.truncated", "http.response.status_message",
+        "http.request.query_string",
+        "grpc.host_port", "grpc.error_name", "grpc.error_message",
+        "grpc.request.body", "grpc.response.body",
+        "grpc.request.body.truncated", "grpc.response.body.truncated",
+        "grpc.request.metadata", "grpc.response.metadata",
+        "grpc.request.call_options", "grpc.path",
+        "rpc.error_name", "rpc.error_message", "rpc.request.body",
+        "rpc.response.body", "rpc.request.body.truncated",
+        "rpc.response.body.truncated",
+        "sql.url", "sql.params", "sql.sqlstate",
+    ]
+)
+
+_CLAIMED_PREFIXES = [
+    "http.request.header.", "http.response.header.", "http.request.param.",
+    "http.request.cookie.", "http.response.cookie.",
+    "rpc.request.metadata.", "rpc.response.metadata.",
+]
+
+
+def residual_attributes(tags: Column) -> Column:
+    """The attribute bag: tags claimed by NO generator key/prefix
+    (FieldsGenerator.java:84-99 fallthrough put)."""
+    def unclaimed(k, v):
+        cond = ~k.isin(*sorted(_CLAIMED_EXACT))
+        for p in _CLAIMED_PREFIXES:
+            cond = cond & ~k.startswith(p)
+        return cond
+
+    return F.map_filter(tags, unclaimed)
+
+
+def extract_all_fields(df: DataFrame, tags_col: str = "tags") -> DataFrame:
+    """P13 dispatcher: run the HTTP, GRPC and SQL generators plus the
+    residual attribute bag in one pass — the columnar equivalent of the
+    reference's per-key routing (exact generator keys first, then prefix
+    handlers, then the attribute map)."""
+    out = http_fields(df, tags_col)
+    out = grpc_fields(out, tags_col)
+    out = sql_fields(out, tags_col)
+    return out.withColumn("attributes", residual_attributes(F.col(tags_col)))

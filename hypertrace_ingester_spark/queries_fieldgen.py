@@ -537,3 +537,136 @@ def p_user_agent(spark, sf_dir):
     df = e.select("event_id", ua.alias("user_agent"))
     out = ua_mod.parse_user_agents(df)
     return out.select("event_id", "ua_family", "ua_type", "ua_version", "ua_os")
+
+
+# ---------------------------------------------------------------------------
+# E15 — GRPC request endpoint/url; P13 — dispatcher; A3 — OTLP gauges
+# ---------------------------------------------------------------------------
+
+@register(
+    "e_grpc_request_url",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT event_id,
+      -- grpc.path itself triggers the grpc.* prefix scan, so m%5=3
+      -- rows are GRPC even without rpc.system
+      CASE WHEN m % 2 = 0 OR m % 5 = 3 THEN
+        (CASE m % 3 WHEN 0 THEN 'Recv.' WHEN 1 THEN 'Sent.' ELSE '' END) ||
+        (CASE m % 5
+           WHEN 0 THEN 'Svc.M' || CAST(m % 4 AS VARCHAR)
+           WHEN 1 THEN 'pkg.Svc.M' || CAST(m % 4 AS VARCHAR)
+           WHEN 2 THEN 'Svc' || CAST(m % 3 AS VARCHAR) || '.M' || CAST(m % 4 AS VARCHAR)
+           WHEN 3 THEN 'pkg.P.Q' || CAST(m % 4 AS VARCHAR)
+           ELSE 'op_plain' END)
+      END AS grpc_request_url
+    FROM e
+    """,
+    doc="E15 GrpcAttributeEnricher (GrpcAttributeEnricher.java:21-48 + "
+        "RpcSemanticConventionUtils.getGrpcRequestEndpoint:509-539): "
+        "endpoint priority (Sent./Recv.-stripped name > rpc metadata :path "
+        "sanitized > rpc.service.method > grpc.path sanitized > name), "
+        "Recv./Sent. prefix by span kind, GRPC-protocol spans only.",
+)
+def e_grpc_request_url(spark, sf_dir):
+    e = _events_m(spark, sf_dir)
+    m = F.col("m")
+    kind = F.when(m % 3 == 0, "ENTRY").when(m % 3 == 1, "EXIT").otherwise("UNSPECIFIED")
+    op_name = F.when(
+        m % 5 == 0, F.concat(F.lit("Sent.Svc.M"), _s(m % 4))
+    ).otherwise(F.lit("op_plain"))
+    df = e.withColumn("kind", kind).withColumn("op_name", op_name).withColumn(
+        "tags",
+        _tags(
+            {
+                "rpc.system": F.when(m % 2 == 0, F.lit("grpc")),
+                "rpc.request.metadata.:path": F.when(
+                    (m % 5 == 1) | (m % 5 == 0),
+                    F.concat(F.lit("/pkg.Svc/M"), _s(m % 4)),
+                ),
+                "rpc.service": F.when(m % 5 == 2, F.concat(F.lit("Svc"), _s(m % 3))),
+                "rpc.method": F.when(m % 5 == 2, F.concat(F.lit("M"), _s(m % 4))),
+                "grpc.path": F.when(m % 5 == 3, F.concat(F.lit("/pkg.P/Q"), _s(m % 4))),
+            }
+        ),
+    )
+    return df.select(
+        "event_id",
+        fg.grpc_request_url(F.col("tags"), F.col("op_name"), F.col("kind")).alias(
+            "grpc_request_url"
+        ),
+    )
+
+
+@register(
+    "p_field_dispatch",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT event_id,
+      CASE WHEN m % 2 = 0 THEN 'GET' END AS http_method,
+      m % 17 AS grpc_status_code,
+      CASE WHEN m % 3 = 0 THEN 'SELECT 1' END AS sql_query,
+      CASE WHEN m % 4 = 0
+           THEN 'another=x,custom.key=c' || CAST(m % 5 AS VARCHAR)
+           ELSE 'custom.key=c' || CAST(m % 5 AS VARCHAR) END AS attributes_kv
+    FROM e
+    """,
+    doc="P13 dispatcher (FieldsGenerator.java:69-105): one pass routes "
+        "every tag to its protocol generator; keys claimed by no exact "
+        "generator key or prefix family land in the residual attribute "
+        "bag (claimed prefix keys like http.request.header.* do NOT).",
+)
+def p_field_dispatch(spark, sf_dir):
+    e = _events_m(spark, sf_dir)
+    m = F.col("m")
+    df = e.withColumn(
+        "tags",
+        _tags(
+            {
+                "http.method": F.when(m % 2 == 0, F.lit("GET")),
+                "grpc.status_code": _s(m % 17),
+                "sql.query": F.when(m % 3 == 0, F.lit("SELECT 1")),
+                "custom.key": F.concat(F.lit("c"), _s(m % 5)),
+                "another": F.when(m % 4 == 0, F.lit("x")),
+                "http.request.header.h1": F.lit("v"),  # claimed prefix
+            }
+        ),
+    )
+    out = fg.extract_all_fields(df, "tags")
+    return out.select(
+        "event_id", "http_method", "grpc_status_code", "sql_query",
+        _kv_string(F.col("attributes")).alias("attributes_kv"),
+    )
+
+
+@register(
+    "a_otlp_gauges",
+    f"""
+    WITH e AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    w AS (
+      SELECT ts_ms - ts_ms % 3600000 AS bucket_start_ms, event_type,
+             count(*) AS num_rows
+      FROM e GROUP BY 1, 2
+    )
+    SELECT 'num_calls' AS metric_name,
+           bucket_start_ms * 1000000 AS time_unix_nano,
+           CAST(num_rows AS DOUBLE) AS gauge_value,
+           'event_type=' || event_type AS attributes_kv
+    FROM w
+    """,
+    doc="A3 OTLP conversion (MetricEmitPunctuator.java:78-131): windowed "
+        "counts flattened to ResourceMetrics gauge data points — metric "
+        "name, window-start time_unix_nano, double value, serialized "
+        "attribute tuple.",
+)
+def a_otlp_gauges(spark, sf_dir):
+    from .operators import aggregate as agg_ops
+    from .sources import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    bucket = (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("bucket_start_ms")
+    metrics = e.groupBy(bucket, "event_type").agg(F.count(F.lit(1)).alias("num_rows"))
+    return agg_ops.to_otlp_gauges(metrics)

@@ -519,3 +519,24 @@ def e_space_ids(spark, sf_dir):
         F.concat_ws(",", F.col("span_space_ids")).alias("span_spaces"),
         F.concat_ws(",", F.col("trace_space_ids")).alias("trace_spaces"),
     )
+
+
+@register(
+    "g_latency_sample",
+    _W + """
+    SELECT trace_id,
+           max(end_ms) - min(start_ms) AS e2e_latency_ms,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM flags
+    GROUP BY trace_id
+    HAVING substr(md5(CAST(trace_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+    doc="G6 dataflow latency sampling (TraceLatencyMeter.java): per sampled "
+        "trace, first-span-start to last-span-end latency; deterministic "
+        "md5-digit sampling (4/16 = 25% expected rate) replaces the "
+        "reference's Math.random().",
+)
+def g_latency_sample(spark, sf_dir):
+    from .operators import group as grp
+
+    return grp.latency_samples(spandom.spans(spark, sf_dir))
