@@ -9,7 +9,9 @@ import os
 import pytest
 
 from hypertrace_ingester_spark.oracle import compare, duckdb_connection
-from hypertrace_ingester_spark.queries import REGISTRY
+from hypertrace_ingester_spark.queries import REGISTRY, _load_extensions
+
+_load_extensions()  # sibling catalog modules register at import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
