@@ -121,3 +121,72 @@ def test_deterministic_across_partitionings(spark, spans):
     a = tg.api_nodes(spans.repartition(16)).orderBy("trace_id", "span_id").toPandas()
     b = tg.api_nodes(spans.coalesce(1)).orderBy("trace_id", "span_id").toPandas()
     assert a.equals(b)
+
+
+def _mk_spans(spark, rows):
+    import pandas as pd
+
+    base = {
+        "tenant_id": 0, "trace_id": 1, "ts_ms": 0, "api_name": "a",
+        "op_name": "o", "start_ms": 0, "end_ms": 1, "duration_ms": 1,
+        "error_count": 0, "exception_count": 0, "status_code": 200,
+        "backend_name": None, "backend_path": None, "has_parent_ref": False,
+    }
+    full = []
+    for i, r in enumerate(rows):
+        d = dict(base)
+        d.update(r)
+        d.setdefault("ts_ms", i * 10)
+        d["start_ms"] = d["ts_ms"]
+        d["has_parent_ref"] = r.get("has_parent_ref", r.get("parent_span_id") is not None)
+        full.append(d)
+    cols = [
+        "tenant_id", "trace_id", "span_id", "parent_span_id", "ts_ms", "kind",
+        "service", "api_name", "op_name", "start_ms", "end_ms", "duration_ms",
+        "error_count", "exception_count", "status_code", "backend_name",
+        "backend_path", "has_parent_ref",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(full)[cols],
+        schema=(
+            "tenant_id long, trace_id long, span_id long, parent_span_id long, "
+            "ts_ms long, kind string, service string, api_name string, "
+            "op_name string, start_ms long, end_ms long, duration_ms long, "
+            "error_count long, exception_count long, status_code long, "
+            "backend_name string, backend_path string, has_parent_ref boolean"
+        ),
+    )
+    from pyspark.sql import functions as F
+
+    flags = tg.span_boundary_types(df).select(
+        F.col("span_id").alias("f_span_id"),
+        F.col("is_api_entry").alias("is_entry_api"),
+        F.col("is_api_exit").alias("is_exit_api"),
+    )
+    return df.join(flags, df.span_id == flags.f_span_id).drop("f_span_id")
+
+
+def test_nodeless_spans(spark):
+    """Spans below an exit API boundary and UNSPECIFIED-root subtrees are
+    claimed by NO ApiNode (ApiTraceGraph.java:202-221: exit-boundary
+    children are not expanded; non-exit roots are not heads)."""
+    spans = _mk_spans(
+        spark,
+        [
+            {"span_id": 1, "parent_span_id": None, "kind": "ENTRY", "service": "a"},
+            {"span_id": 2, "parent_span_id": 1, "kind": "EXIT", "service": "a"},
+            {"span_id": 3, "parent_span_id": 2, "kind": "ENTRY", "service": "b"},
+            # UNSPECIFIED child of the exit boundary: unreachable -> nodeless
+            {"span_id": 4, "parent_span_id": 2, "kind": "UNSPECIFIED", "service": "a"},
+            # UNSPECIFIED root + its child: not a head -> whole subtree nodeless
+            {"span_id": 5, "parent_span_id": None, "kind": "UNSPECIFIED", "service": "c"},
+            {"span_id": 6, "parent_span_id": 5, "kind": "EXIT", "service": "c"},
+        ],
+    )
+    nodes = tg.api_nodes(spans).toPandas()
+    assert set(nodes["span_id"]) == {1, 2, 3}
+    assert set(nodes[nodes.head_span_id == 1]["span_id"]) == {1, 2}
+    # span 6 is an exit-api leaf but unreachable (root 5 is not a head):
+    # no BACKEND service-call row for it either
+    sc = tg.service_call_edges(spans).toPandas()
+    assert 6 not in set(sc["client_span_id"].dropna())
