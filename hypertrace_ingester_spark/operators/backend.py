@@ -125,13 +125,18 @@ def resolve_backends(spans: DataFrame, tags_col: str = "tags") -> DataFrame:
     ).filter(F.col("backend_type").isNotNull() & F.col("backend_uri").isNotNull())
 
     # FQN rejection: HTTP/HTTPS/GRPC whose host matches a same-trace service
+    # (trace ids are only unique per tenant — key the dim on both)
     services = spans.select(
-        F.col("trace_id").alias("s_trace_id"), F.col("service").alias("s_service")
+        F.col("tenant_id").alias("s_tenant_id"),
+        F.col("trace_id").alias("s_trace_id"),
+        F.col("service").alias("s_service"),
     ).distinct()
     host = F.get(F.split(F.col("backend_uri"), ":"), 0)
     joined = resolved.withColumn("b_host", host).join(
         services,
-        (F.col("trace_id") == F.col("s_trace_id")) & (F.col("b_host") == F.col("s_service")),
+        (F.col("tenant_id") == F.col("s_tenant_id"))
+        & (F.col("trace_id") == F.col("s_trace_id"))
+        & (F.col("b_host") == F.col("s_service")),
         "left",
     )
     kept = joined.filter(

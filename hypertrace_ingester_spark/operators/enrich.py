@@ -262,7 +262,9 @@ def space_ids(df: DataFrame, rules: DataFrame, tags_col: str = "tags",
         F.array_distinct(F.filter(values, lambda v: v.isNotNull() & (v != "")))
     )
     out = joined.withColumn("span_space_ids", span_spaces).drop("rule_keys")
-    w = Window.partitionBy(trace_col)
+    # trace ids are only unique per tenant — the union window must key on
+    # both, like every other trace-scoped operator
+    w = Window.partitionBy("tenant_id", trace_col)
     return out.withColumn(
         "trace_space_ids",
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("span_space_ids").over(w)))),

@@ -298,7 +298,13 @@ def grpc_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "grpc_") ->
             raw.substr(F.lit(10), F.length(raw) - 10),
         )
         m = F.str_to_map(inner, F.lit(","), F.lit("="))
-        return F.map_filter(m, lambda k, v: v.isNotNull() & (k != ""))
+        # parseMetadataString drops entries without exactly one '=' (:356):
+        # str_to_map splits on the FIRST '=', so 'k=v=w' leaves '=' in the
+        # value and 'k=' leaves '' — both rejected here; bare 'k' maps to
+        # null and is rejected too.
+        return F.map_filter(
+            m, lambda k, v: v.isNotNull() & (k != "") & (v != "") & ~v.contains("=")
+        )
 
     p = prefix
     body = F.coalesce(F.element_at(t, "grpc.request.body"), F.element_at(t, "rpc.request.body"))

@@ -111,60 +111,96 @@ class _TraceState:
         # children in event order (ts, id) — pdf is pre-sorted
         self.is_entry_api = dict(zip(get["span_id"], get["is_entry_api"]))
         self.is_exit_api = dict(zip(get["span_id"], get["is_exit_api"]))
-        self._build_nodes()
-        self._build_edges()
+        # node/edge state is built lazily: the SpanEventView walks need only
+        # the parent/boundary dicts, so they skip the BFS entirely
 
     def v(self, col, sid):
         return self.col[col][self.row[sid]]
 
+    @property
+    def member(self) -> dict:
+        if not hasattr(self, "_member"):
+            self._build_nodes()
+        return self._member
+
+    @property
+    def heads(self) -> list:
+        if not hasattr(self, "_member"):
+            self._build_nodes()
+        return self._heads
+
+    @property
+    def node_members(self) -> dict:
+        if not hasattr(self, "_member"):
+            self._build_nodes()
+        return self._node_members
+
+    @property
+    def edges(self) -> list:
+        if not hasattr(self, "_edges"):
+            self._build_edges()
+        return self._edges
+
+    @property
+    def entry_with_incoming(self) -> set:
+        if not hasattr(self, "_edges"):
+            self._build_edges()
+        return self._entry_with_incoming
+
+    @property
+    def exit_with_outgoing(self) -> set:
+        if not hasattr(self, "_edges"):
+            self._build_edges()
+        return self._exit_with_outgoing
+
     # -- ApiTraceGraph.java:155-273 ------------------------------------
     def _build_nodes(self) -> None:
-        self.member: dict = {}   # span_id -> (head_span_id, depth)
-        self.heads: list = []
-        self.node_members: dict = {}  # head -> [span_id]
+        self._member: dict = {}   # span_id -> (head_span_id, depth)
+        self._heads: list = []
+        self._node_members: dict = {}  # head -> [span_id]
 
         def claim(head) -> None:
-            self.heads.append(head)
+            self._heads.append(head)
             members = [head]
-            self.member[head] = (head, 0)
+            self._member[head] = (head, 0)
             q = deque([(head, 0)])
             while q:
                 sid, depth = q.popleft()
                 for child in self.children.get(sid, ()):  # event order
                     if self.is_entry_api[child]:
                         continue  # new boundary — child heads its own node
-                    if child in self.member:
+                    if child in self._member:
                         continue
-                    self.member[child] = (head, depth + 1)
+                    self._member[child] = (head, depth + 1)
                     members.append(child)
                     if not self.is_exit_api[child]:
                         q.append((child, depth + 1))
                     # exit boundary children join the node but are not expanded
-            self.node_members[head] = members
+            self._node_members[head] = members
 
         for sid in self.order:
             if self.is_entry_api[sid]:
                 claim(sid)
         for sid in self.order:  # orphan roots: only EXIT roots become heads
-            if sid not in self.member and sid not in self.parent and self.kind[sid] == "EXIT":
+            if sid not in self._member and sid not in self.parent and self.kind[sid] == "EXIT":
                 claim(sid)
         # anything else (e.g. UNSPECIFIED roots, spans below an exit
         # boundary) stays nodeless — ApiTraceGraph.java:202-214.
 
     # -- ApiTraceGraph.java:275-366 ------------------------------------
     def _build_edges(self) -> None:
-        self.edges: list = []  # (src_head, dst_head, src_exit, dst_entry)
-        self.entry_with_incoming: set = set()
-        self.exit_with_outgoing: set = set()
+        self._edges: list = []  # (src_head, dst_head, src_exit, dst_entry)
+        self._entry_with_incoming: set = set()
+        self._exit_with_outgoing: set = set()
         for head in self.heads:
             for sid in self.node_members[head]:
                 if not self.is_exit_api[sid]:
                     continue
                 for child in self.children.get(sid, ()):
                     if self.is_entry_api[child]:
-                        self.edges.append((head, child, sid, child))
-                        self.exit_with_outgoing.add(sid)
-                        self.entry_with_incoming.add(child)
+                        self._edges.append((head, child, sid, child))
+                        self._exit_with_outgoing.add(sid)
+                        self._entry_with_incoming.add(child)
 
     # -- SpanEventViewGenerator.java:77-125 ----------------------------
     def exit_to_callee_entry(self) -> dict:
@@ -214,6 +250,15 @@ class _TraceState:
 
 
 def _grouped(spans: DataFrame, fn, schema: str) -> DataFrame:
+    # Null parent ids would force Arrow→pandas to deliver the whole column
+    # as float64, silently rounding 64-bit span ids past 2^53 and breaking
+    # parent links at realistic id ranges. Encode "no parent" as -1 (the
+    # same sentinel the spans domain uses for broken refs) so the column
+    # stays exact int64; the walks already treat any id not present in the
+    # trace as a root.
+    spans = spans.withColumn(
+        "parent_span_id", F.coalesce(F.col("parent_span_id"), F.lit(-1).cast("long"))
+    )
     return spans.groupBy("tenant_id", "trace_id").applyInPandas(fn, schema=schema)
 
 

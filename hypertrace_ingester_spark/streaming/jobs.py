@@ -128,29 +128,30 @@ def _capped_session_fn(max_events: int, gap_ms: int):
         # running session immediately (emitted below) — matching batch
         # group.sessionize, where replayed history splits by its own
         # timestamps instead of waiting for wall-clock timeouts.
+        # The fold tracks the RUNNING session end (max of state end and
+        # prior events), so late-but-within-watermark events merge into
+        # the open session without shrinking its end or splitting it
+        # (equivalent to the sorted-lag formulation of group.sessionize):
+        # boundary at i  iff  ts[i] - max(end0, ts[i-1]) > gap.
         import numpy as np
 
         ts_parts = [pdf["ts_ms"].to_numpy() for pdf in pdfs if len(pdf)]
         closed: list[tuple[int, int, int]] = []
         if ts_parts:
             ts = np.sort(np.concatenate(ts_parts))
-            if end_ms is not None and int(ts[0]) - end_ms > gap_ms:
-                closed.append((n, start_ms, end_ms))
-                n, start_ms, end_ms = 0, None, None
-            splits = np.flatnonzero(np.diff(ts) > gap_ms) + 1
-            segments = np.split(ts, splits)
-            for seg in segments[:-1]:
-                if n:  # merge running state into the first segment
-                    closed.append(
-                        (n + len(seg), min(start_ms, int(seg[0])), int(seg[-1]))
-                    )
-                    n, start_ms, end_ms = 0, None, None
-                else:
-                    closed.append((len(seg), int(seg[0]), int(seg[-1])))
-            last = segments[-1]
-            n += len(last)
-            start_ms = int(last[0]) if start_ms is None else min(start_ms, int(last[0]))
-            end_ms = int(last[-1]) if end_ms is None else max(end_ms, int(last[-1]))
+            end0 = -np.inf if end_ms is None else end_ms
+            prev = np.maximum(end0, np.concatenate(([-np.inf], ts[:-1])))
+            boundaries = np.flatnonzero(ts - prev > gap_ms)
+            segments = np.split(ts, boundaries)  # segments[0] merges state
+            if len(segments[0]):
+                seg = segments[0]
+                n += len(seg)
+                start_ms = int(seg[0]) if start_ms is None else min(start_ms, int(seg[0]))
+                end_ms = int(seg[-1]) if end_ms is None else max(end_ms, int(seg[-1]))
+            for seg in segments[1:]:
+                if n:
+                    closed.append((n, start_ms, end_ms))
+                n, start_ms, end_ms = len(seg), int(seg[0]), int(seg[-1])
         if closed:
             yield pd.DataFrame(
                 {

@@ -133,3 +133,46 @@ def test_sessionize_with_state_event_time(spark, tmp_path):
         assert r["n_events"] == 2  # capped from 3
         assert bool(r["truncated"])
         assert r["session_end_ms"] - r["session_start_ms"] == 120_000
+
+
+def test_gap_fold_out_of_order_merge():
+    """Late-but-within-watermark events merge into the open session without
+    shrinking its end; a later event still splits against the RUNNING max
+    end, not the raw previous timestamp (review finding, round 2)."""
+    import pandas as pd
+
+    from hypertrace_ingester_spark.streaming.jobs import _capped_session_fn
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, v=None):
+            self._v = v
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    fn = _capped_session_fn(max_events=10, gap_ms=100)
+    state = FakeState((3, 0, 50))  # running session [0, 50], 3 events
+    batch = pd.DataFrame({"ts_ms": [160, 45]})  # 45 is late, inside session
+    out = list(fn((7,), iter([batch]), state))
+    closed = pd.concat(out)
+    closed = closed[closed["n_events"] > 0]
+    # 45 merged (end stays 50); 160 - 50 = 110 > gap -> old session closes
+    assert len(closed) == 1
+    assert closed.iloc[0]["n_events"] == 4
+    assert closed.iloc[0]["session_start_ms"] == 0
+    assert closed.iloc[0]["session_end_ms"] == 50
+    assert state.get == (1, 160, 160)  # new running session
+    assert state.timeout == 260
