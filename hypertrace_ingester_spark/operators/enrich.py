@@ -269,3 +269,17 @@ def space_ids(df: DataFrame, rules: DataFrame, tags_col: str = "tags",
         "trace_space_ids",
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("span_space_ids").over(w)))),
     )
+
+
+def entity_span_enrich(spans: DataFrame, entities: DataFrame) -> DataFrame:
+    """E12 EntitySpanEnricher (enrichers/EntitySpanEnricher.java): stamp the
+    registered entity relationship onto each span via a broadcast lookup on
+    (tenant_id, service) — the relational form of the entity-service call
+    behind its Guava cache. ``entities``: (tenant_id, service, entity_id,
+    entity_type, related_entity_ids array). Left join: spans whose service
+    has no registered entity keep NULLs (discovery-pending analog)."""
+    dim = entities.select(
+        "tenant_id", "service", "entity_id", "entity_type",
+        F.array_sort(F.col("related_entity_ids")).alias("related_entity_ids"),
+    )
+    return spans.join(F.broadcast(dim), on=["tenant_id", "service"], how="left")

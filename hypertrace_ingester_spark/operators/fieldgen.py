@@ -510,3 +510,36 @@ def extract_all_fields(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     out = grpc_fields(out, tags_col)
     out = sql_fields(out, tags_col)
     return out.withColumn("attributes", residual_attributes(F.col(tags_col)))
+
+
+def http_struct(df: DataFrame, prefix: str = "http_") -> DataFrame:
+    """P8 typed-struct assembly: fold the flat http_* extraction columns
+    into the nested Event.http record shape (request/response sub-records,
+    structured-trace-schema.json `Http`/`Request`/`Response`). Runs after
+    :func:`http_fields`; pure column re-nesting, no recomputation."""
+    p = prefix
+    request = F.struct(
+        F.col(p + "method").alias("method"),
+        F.col(p + "url").alias("url"),
+        F.col(p + "scheme").alias("scheme"),
+        F.col(p + "host").alias("host"),
+        F.col(p + "path").alias("path"),
+        F.col(p + "query").alias("query_string"),
+        F.col(p + "user_agent").alias("user_agent"),
+        F.col(p + "request_size").alias("size"),
+        F.struct(
+            F.col(p + "request_headers").alias("other_headers"),
+        ).alias("headers"),
+        F.col(p + "request_params").alias("params"),
+        F.col(p + "request_cookies").alias("cookies"),
+    )
+    response = F.struct(
+        F.col(p + "response_size").alias("size"),
+        F.col(p + "status_code").alias("status_code"),
+        F.col(p + "status_message").alias("status_message"),
+        F.struct(
+            F.col(p + "response_headers").alias("other_headers"),
+        ).alias("headers"),
+        F.col(p + "response_cookies").alias("cookies"),
+    )
+    return df.withColumn("http", F.struct(request.alias("request"), response.alias("response")))

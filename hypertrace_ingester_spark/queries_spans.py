@@ -540,3 +540,47 @@ def g_latency_sample(spark, sf_dir):
     from .operators import group as grp
 
     return grp.latency_samples(spandom.spans(spark, sf_dir))
+
+
+@register(
+    "e_entity_span",
+    _W + """
+    SELECT tenant_id, trace_id, span_id, service,
+           CASE WHEN kv % 4 <> 3
+                THEN 'ent_' || CAST(tenant_id AS VARCHAR) || '_' || service
+           END AS entity_id,
+           CASE WHEN kv % 4 <> 3 THEN 'SERVICE' END AS entity_type,
+           CASE WHEN kv % 4 <> 3
+                THEN 'rel_' || CAST(tenant_id AS VARCHAR) || ',rel_a'
+           END AS related_kv
+    FROM flags
+    WHERE service IS NOT NULL
+    """,
+    doc="E12 EntitySpanEnricher (enrichers/EntitySpanEnricher.java): "
+        "broadcast entity-relationship lookup on (tenant, service); spans "
+        "of unregistered services (svc_3 here) keep NULL entity columns.",
+)
+def e_entity_span(spark, sf_dir):
+    from .operators import enrich as en
+
+    sp = spandom.spans(spark, sf_dir)
+    # entity registry: every (tenant, service) except svc_3 (kv%4==3 rows
+    # are exactly the svc_3 rows since service = 'svc_' || kv%4)
+    entities = spark.createDataFrame(
+        [
+            (t, f"svc_{s}", f"ent_{t}_svc_{s}", "SERVICE", [f"rel_{t}", "rel_a"])
+            for t in range(5)
+            for s in range(4)
+            if s != 3
+        ],
+        "tenant_id long, service string, entity_id string, entity_type string, "
+        "related_entity_ids array<string>",
+    )
+    out = en.entity_span_enrich(sp, entities)
+    return out.select(
+        "tenant_id", "trace_id", "span_id", "service", "entity_id", "entity_type",
+        F.when(
+            F.col("related_entity_ids").isNotNull(),
+            F.concat_ws(",", F.col("related_entity_ids")),
+        ).alias("related_kv"),
+    )

@@ -210,3 +210,18 @@ def test_protocol_detection(spark, tags, expect):
     df = spark.createDataFrame([(1, tags)], schema="id long, tags map<string,string>")
     got = df.select(fg.protocol_from_tags(F.col("tags")).alias("p")).collect()[0]["p"]
     assert got == expect
+
+
+def test_http_struct_assembly(spark):
+    df = spark.createDataFrame(
+        [(1, {"http.url": "https://example.ai/a?x=1", "http.request.method": "GET",
+              "http.response.status_code": "201"})],
+        "id long, tags map<string,string>",
+    )
+    row = fg.http_struct(fg.http_fields(df, "tags")).collect()[0]
+    http = row["http"]
+    assert http["request"]["method"] == "GET"
+    assert http["request"]["url"] == "https://example.ai/a?x=1"
+    assert http["request"]["path"] == "/a"
+    assert http["response"]["status_code"] == 201
+    assert http["response"]["size"] is None
