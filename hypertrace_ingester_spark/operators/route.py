@@ -42,7 +42,7 @@ def salted_repartition(df: DataFrame, key: str = "sink",
 
 
 def fan_out(routed: DataFrame, out_dir: str,
-            salt_buckets: int | None = None) -> None:
+            salt_buckets: int | None = None, mode: str = "overwrite") -> None:
     """Write every sink in one pass: parquet partitioned by sink.
 
     Production target is Iceberg (``writeTo(tbl).append()`` with
@@ -65,7 +65,7 @@ def fan_out(routed: DataFrame, out_dir: str,
     # parquet v2 data pages: delta/packed int encodings encode the token
     # column ~35% faster than v1 at identical size (measured)
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .option("parquet.writer.version", "v2")
         .option("parquet.enable.dictionary#tokens.list.element", "false")
         .partitionBy("sink")

@@ -176,3 +176,33 @@ def test_gap_fold_out_of_order_merge():
     assert closed.iloc[0]["session_end_ms"] == 50
     assert state.get == (1, 160, 160)  # new running session
     assert state.timeout == 260
+
+
+def test_streaming_pipeline_end_to_end(spark, tmp_path):
+    """Full streaming face: micro-batched sequences through the shared
+    parse->enrich->route DAG, appended per sink; routed rows must equal
+    the batch pipeline's on the same input (the portability invariant)."""
+    from hypertrace_ingester_spark import datagen
+    from hypertrace_ingester_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from hypertrace_ingester_spark.plans.streaming_pipeline import run_streaming_pipeline
+
+    seqs = datagen.generate_sequences(spark, 2000)
+    in_dir = str(tmp_path / "stream_seqs")
+    seqs.repartition(4).write.parquet(in_dir)  # several files -> micro-batches
+    stream = (
+        spark.readStream.schema(seqs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    out = str(tmp_path / "stream_out")
+    q = run_streaming_pipeline(spark, stream, PipelineConfig(out_dir=out))
+    q.awaitTermination(180)
+
+    batch_out = str(tmp_path / "batch_out")
+    m = run_pipeline(spark, spark.read.parquet(in_dir), PipelineConfig(out_dir=batch_out))
+
+    routed = spark.read.parquet(out + "/routed")
+    got = {r["sink"]: r["n"] for r in routed.groupBy("sink").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert got == m["stages"]["route"]["sink_counts"]
