@@ -1,0 +1,79 @@
+"""Property test: the streaming stateful gap fold, fed any batching of an
+event stream IN EVENT-TIME ORDER ACROSS BATCHES (late data only within the
+running session, i.e. what survives the watermark), produces exactly the
+sessions of the batch sessionizer on the full event set."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hypertrace_ingester_spark.streaming.jobs import _capped_session_fn
+
+GAP = 100
+
+
+class FakeState:
+    hasTimedOut = False
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def batch_sessions(ts):
+    """Reference semantics: sorted events, gap > GAP splits (group.sessionize)."""
+    ts = sorted(ts)
+    out, cur = [], [ts[0]]
+    for t in ts[1:]:
+        if t - cur[-1] > GAP:
+            out.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    out.append(cur)
+    return [(len(c), c[0], c[-1]) for c in out]
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60),
+    splits=st.lists(st.integers(min_value=1, max_value=59), max_size=6),
+    jitter=st.integers(min_value=0, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_fold_matches_batch_sessionize(ts, splits, jitter):
+    ordered = sorted(ts)
+    cuts = sorted({s for s in splits if s < len(ordered)})
+    batches = np.split(np.array(ordered), cuts)
+    # jitter: move one event of each batch earlier (late-but-within-session
+    # arrival) without violating the watermark assumption
+    state = FakeState()
+    fn = _capped_session_fn(max_events=10**9, gap_ms=GAP)
+    closed = []
+    for b in batches:
+        if len(b) == 0:
+            continue
+        arr = list(b)
+        if len(arr) > 1 and jitter:
+            arr = arr[1:] + [arr[0]]  # out-of-order within the batch
+        out = pd.concat(list(fn((1,), iter([pd.DataFrame({"ts_ms": arr})]), state)))
+        for _, r in out[out["n_events"] > 0].iterrows():
+            closed.append(
+                (int(r["n_events"]), int(r["session_start_ms"]), int(r["session_end_ms"]))
+            )
+    if state.get is not None and state.get[0] > 0:
+        closed.append(state.get)
+    assert closed == batch_sessions(ts)
