@@ -79,10 +79,15 @@ def to_otlp_gauges(metrics: DataFrame, value_col: str = "num_rows",
     metric name, time_unix_nano (window start), double value, and the
     attribute tuple serialized as sorted k=v pairs (the protobuf KeyValue
     list analog)."""
+    # null attribute values keep their key ('k=') so the pair is never
+    # silently dropped and tuples stay distinguishable
     attrs = F.concat_ws(
         ",",
         F.array_sort(
-            F.array(*[F.concat(F.lit(c + "="), F.col(c).cast("string")) for c in attr_cols])
+            F.array(*[
+                F.concat(F.lit(c + "="), F.coalesce(F.col(c).cast("string"), F.lit("")))
+                for c in attr_cols
+            ])
         ),
     )
     return metrics.select(

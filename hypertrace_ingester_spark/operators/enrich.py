@@ -283,3 +283,28 @@ def entity_span_enrich(spans: DataFrame, entities: DataFrame) -> DataFrame:
         F.array_sort(F.col("related_entity_ids")).alias("related_entity_ids"),
     )
     return spans.join(F.broadcast(dim), on=["tenant_id", "service"], how="left")
+
+
+def enrich_with_bypass(alive: DataFrame, ctx: EnrichContext) -> DataFrame:
+    """The pipeline hot path shared by the batch and streaming faces:
+    fused enrichment, then bypass semantics — bypass rows skip the
+    enricher DAG in the reference (SpanNormalizer.java:66-70), so their
+    dim-lookup columns are nulled and status is EXPLICITLY re-derived from
+    the raw code class; error_count follows the final status_state."""
+    enriched = enrich_fused(alive, ctx)
+    dim_cols = [
+        c
+        for c in ("api_id", "api_name", "service_id", "service_name", "status_message")
+        if c in enriched.columns
+    ]
+    out = enriched.withColumns(
+        {c: F.when(~F.col("is_bypass"), F.col(c)) for c in dim_cols}
+    ).withColumn(
+        "status_state",
+        F.when(~F.col("is_bypass"), F.col("status_state")).otherwise(
+            status_state_heuristic()
+        ),
+    )
+    return out.withColumn(
+        "error_count", F.when(F.col("status_state") == "FAIL", F.lit(1)).otherwise(F.lit(0))
+    )

@@ -408,7 +408,9 @@ def _sanitize_path(c: Column) -> Column:
     joined = F.array_join(
         F.filter(F.split(F.trim(c), "/"), lambda x: x != ""), "."
     )
-    return F.when(c.isNotNull() & (F.trim(c) != ""), joined)
+    # a slash-only path sanitizes to '' — treat as absent so the endpoint
+    # coalesce chain falls through (Optional.empty analog)
+    return F.when(c.isNotNull() & (F.trim(c) != "") & (joined != ""), joined)
 
 
 def grpc_request_endpoint(tags: Column, op_name: Column) -> Column:

@@ -183,22 +183,24 @@ def peer_ip_correlation(
 def latency_samples(spans, sample_hex_chars: str = "0123",
                     trace_col: str = "trace_id"):
     """G6 — dataflow latency sampling (raw-spans-grouper/.../utils/
-    TraceLatencyMeter.java): per sampled trace, the end-to-end latency
-    between the first span's start and the last span's end (the batch
-    analog of span-arrival → trace-creation lag). The reference samples
-    with Math.random() per trace; batch determinism samples by the first
-    hex digit of md5(trace_id) — same expected rate (len(chars)/16),
-    reproducible in any engine."""
+    TraceLatencyMeter.java): per sampled (tenant, trace), the end-to-end
+    latency between the first span's start and the last span's end (the
+    batch analog of span-arrival → trace-creation lag). The reference
+    samples with Math.random() per trace; batch determinism samples by the
+    first hex digit of md5(tenant:trace) — same expected rate
+    (len(chars)/16), reproducible in any engine. Tenant-scoped throughout:
+    trace ids are only unique per tenant."""
     from pyspark.sql import functions as F
 
-    agg = spans.groupBy(trace_col).agg(
+    agg = spans.groupBy("tenant_id", trace_col).agg(
         F.min("start_ms").alias("first_start_ms"),
         F.max("end_ms").alias("last_end_ms"),
         F.count(F.lit(1)).alias("n_spans"),
     )
-    digit = F.substring(F.md5(F.col(trace_col).cast("string")), 1, 1)
+    key = F.concat_ws(":", F.col("tenant_id").cast("string"), F.col(trace_col).cast("string"))
+    digit = F.substring(F.md5(key), 1, 1)
     return agg.filter(digit.isin(*list(sample_hex_chars))).select(
-        trace_col,
+        "tenant_id", trace_col,
         (F.col("last_end_ms") - F.col("first_start_ms")).alias("e2e_latency_ms"),
         F.col("n_spans").cast("long").alias("n_spans"),
     )

@@ -139,26 +139,7 @@ def run_pipeline(
     )
     # fused path: ONE composite broadcast join instead of three — each
     # chained join re-materializes the wide token payload
-    enriched = enrich_ops.enrich_fused(alive, ctx)
-    # Bypass rows skip the enricher DAG in the reference (SpanNormalizer
-    # .java:66-70): dim-lookup columns are nulled, and status is EXPLICITLY
-    # re-derived from the raw code class (not the dim) so bypass output
-    # matches what an un-enriched span would carry; error_count follows the
-    # final status_state.
-    dim_cols = [c for c in
-                ("api_id", "api_name", "service_id", "service_name", "status_message")
-                if c in enriched.columns]
-    enriched_all = enriched.withColumns(
-        {c: F.when(~F.col("is_bypass"), F.col(c)) for c in dim_cols}
-    ).withColumn(
-        "status_state",
-        F.when(~F.col("is_bypass"), F.col("status_state")).otherwise(
-            enrich_ops.status_state_heuristic()
-        ),
-    )
-    enriched_all = enriched_all.withColumn(
-        "error_count", F.when(F.col("status_state") == "FAIL", F.lit(1)).otherwise(F.lit(0))
-    )
+    enriched_all = enrich_ops.enrich_with_bypass(alive, ctx)
 
     # ---- ROUTE ----------------------------------------------------------
     routed = route_ops.route(enriched_all, route_rules)

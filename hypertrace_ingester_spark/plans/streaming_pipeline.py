@@ -4,8 +4,9 @@ topology as ONE Structured Streaming job.
 The batch DAG (plans/pipeline.py) and this streaming face share every
 transformation: ``foreachBatch`` applies the identical
 parse → enrich → route stages to each micro-batch and APPENDS to the same
-partitioned sink layout, while the windowed metrics run as a true
-streaming aggregation (watermark + append mode) beside it. This is the
+partitioned sink layout, and appends incremental per-batch windowed
+metrics (mergeable partial counts; use streaming/jobs.streaming_metrics
+for the watermark-driven single-emission variant). This is the
 SURVEY §0 mapping — "read → narrow transforms → … → N sinks" with Kafka
 topic edges replaced by micro-batch lineage — and the deployment shape a
 user of the reference's always-on ingester would run:
@@ -45,21 +46,7 @@ def _batch_stages(batch_df: DataFrame, cfg: PipelineConfig,
     alive = parsed.filter(F.col("has_tenant") & ~F.col("is_dropped")).select(
         *parse_ops.PARSE_OUTPUT_COLS
     )
-    enriched = enrich_ops.enrich_fused(alive, ctx)
-    dim_cols = [c for c in
-                ("api_id", "api_name", "service_id", "service_name", "status_message")
-                if c in enriched.columns]
-    enriched = enriched.withColumns(
-        {c: F.when(~F.col("is_bypass"), F.col(c)) for c in dim_cols}
-    ).withColumn(
-        "status_state",
-        F.when(~F.col("is_bypass"), F.col("status_state")).otherwise(
-            enrich_ops.status_state_heuristic()
-        ),
-    ).withColumn(
-        "error_count", F.when(F.col("status_state") == "FAIL", F.lit(1)).otherwise(F.lit(0))
-    )
-    return route_ops.route(enriched, route_rules)
+    return route_ops.route(enrich_ops.enrich_with_bypass(alive, ctx), route_rules)
 
 
 def run_streaming_pipeline(
@@ -85,9 +72,20 @@ def run_streaming_pipeline(
     rules = route_rules if route_rules is not None else datagen.route_rules_dim(spark)
     routed_dir = os.path.join(cfg.out_dir, "routed")
 
+    metrics_dir = os.path.join(cfg.out_dir, "metrics")
+
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         routed = _batch_stages(batch_df, cfg, ctx, rules)
         route_ops.fan_out(routed, routed_dir, cfg.salt_buckets, mode="append")
+        # AGGREGATE face: incremental per-batch windowed counts, appended —
+        # each append is a mergeable partial (sum downstream), the analog of
+        # the reference's per-window gauge emissions; the batch pipeline's
+        # one-shot metrics are the closed-input special case.
+        from ..operators import aggregate as agg_ops
+
+        agg_ops.sink_metrics(routed, cfg.metric_window_ms).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(metrics_dir)
 
     writer = (
         stream.writeStream.foreachBatch(per_batch)

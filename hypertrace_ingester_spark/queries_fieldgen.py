@@ -652,7 +652,7 @@ def p_field_dispatch(spark, sf_dir):
     SELECT 'num_calls' AS metric_name,
            bucket_start_ms * 1000000 AS time_unix_nano,
            CAST(num_rows AS DOUBLE) AS gauge_value,
-           'event_type=' || event_type AS attributes_kv
+           'event_type=' || COALESCE(event_type, '') AS attributes_kv
     FROM w
     """,
     doc="A3 OTLP conversion (MetricEmitPunctuator.java:78-131): windowed "

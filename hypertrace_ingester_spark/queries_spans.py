@@ -524,12 +524,13 @@ def e_space_ids(spark, sf_dir):
 @register(
     "g_latency_sample",
     _W + """
-    SELECT trace_id,
+    SELECT tenant_id, trace_id,
            max(end_ms) - min(start_ms) AS e2e_latency_ms,
            CAST(count(*) AS BIGINT) AS n_spans
     FROM flags
-    GROUP BY trace_id
-    HAVING substr(md5(CAST(trace_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    GROUP BY tenant_id, trace_id
+    HAVING substr(md5(CAST(tenant_id AS VARCHAR) || ':'
+                      || CAST(trace_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
     """,
     doc="G6 dataflow latency sampling (TraceLatencyMeter.java): per sampled "
         "trace, first-span-start to last-span-end latency; deterministic "

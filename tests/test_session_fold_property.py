@@ -10,28 +10,9 @@ from hypothesis import strategies as st
 
 from hypertrace_ingester_spark.streaming.jobs import _capped_session_fn
 
+from helpers import FakeGroupState
+
 GAP = 100
-
-
-class FakeState:
-    hasTimedOut = False
-
-    def __init__(self):
-        self._v = None
-
-    @property
-    def exists(self):
-        return self._v is not None
-
-    @property
-    def get(self):
-        return self._v
-
-    def update(self, v):
-        self._v = v
-
-    def setTimeoutTimestamp(self, ts):
-        self.timeout = ts
 
 
 def batch_sessions(ts):
@@ -60,7 +41,7 @@ def test_fold_matches_batch_sessionize(ts, splits, jitter):
     batches = np.split(np.array(ordered), cuts)
     # jitter: move one event of each batch earlier (late-but-within-session
     # arrival) without violating the watermark assumption
-    state = FakeState()
+    state = FakeGroupState()
     fn = _capped_session_fn(max_events=10**9, gap_ms=GAP)
     closed = []
     for b in batches:

@@ -143,28 +143,10 @@ def test_gap_fold_out_of_order_merge():
 
     from hypertrace_ingester_spark.streaming.jobs import _capped_session_fn
 
-    class FakeState:
-        hasTimedOut = False
-
-        def __init__(self, v=None):
-            self._v = v
-
-        @property
-        def exists(self):
-            return self._v is not None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-
-        def setTimeoutTimestamp(self, ts):
-            self.timeout = ts
+    from helpers import FakeGroupState
 
     fn = _capped_session_fn(max_events=10, gap_ms=100)
-    state = FakeState((3, 0, 50))  # running session [0, 50], 3 events
+    state = FakeGroupState((3, 0, 50))  # running session [0, 50], 3 events
     batch = pd.DataFrame({"ts_ms": [160, 45]})  # 45 is late, inside session
     out = list(fn((7,), iter([batch]), state))
     closed = pd.concat(out)
@@ -203,6 +185,12 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
 
     routed = spark.read.parquet(out + "/routed")
     got = {r["sink"]: r["n"] for r in routed.groupBy("sink").agg(
-        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        F.count("*").alias("n")
     ).collect()}
     assert got == m["stages"]["route"]["sink_counts"]
+    # incremental per-batch metrics sum to the batch pipeline's totals
+    stream_metrics = spark.read.parquet(out + "/metrics")
+    sm = {r["sink"]: r["n"] for r in stream_metrics.groupBy("sink").agg(
+        F.sum("num_rows").alias("n")
+    ).collect()}
+    assert sm == m["stages"]["route"]["sink_counts"]
