@@ -670,3 +670,24 @@ def a_otlp_gauges(spark, sf_dir):
     bucket = (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("bucket_start_ms")
     metrics = e.groupBy(bucket, "event_type").agg(F.count(F.lit(1)).alias("num_rows"))
     return agg_ops.to_otlp_gauges(metrics)
+
+
+@register(
+    "x_multimodal_features",
+    None,  # sha512-derived payloads aren't reproducible in DuckDB core
+    doc="Multimodal plumbing under the gate (rows-only): synthetic binary "
+        "media -> mapInPandas decode/feature extraction (payload dropped "
+        "before the aggregate shuffle) -> per-kind rollup of byte counts "
+        "and distinct content hashes. The codec itself is the documented "
+        "deterministic-fake seam (operators/multimodal.py:61-76).",
+)
+def x_multimodal_features(spark, sf_dir):
+    from .operators import multimodal as mm
+
+    media = mm.generate_media(spark, 300)
+    feats = mm.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.countDistinct("payload_hash").alias("n_distinct"),
+    )
