@@ -691,3 +691,21 @@ def x_multimodal_features(spark, sf_dir):
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.countDistinct("payload_hash").alias("n_distinct"),
     )
+
+
+@register(
+    "s_ann_ivf",
+    None,  # seeded-numpy centroids aren't reproducible in DuckDB
+    doc="IVF ANN (the second scale path beside hyperplane LSH): corpus in "
+        "inverted lists by coarse centroid, queries probe nprobe cells and "
+        "rerank exactly inside them; one corpus shuffle keyed by cell. "
+        "Rows-only check; recall vs brute force asserted in "
+        "tests/test_similarity_ivf.py.",
+)
+def s_ann_ivf(spark, sf_dir):
+    from .operators import similarity as sim
+    from .sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.ivf_topk(emb, queries, dim=64, k=5)
