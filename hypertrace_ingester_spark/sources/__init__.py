@@ -36,8 +36,17 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     A small-SF table is typically one parquet file → one input split → a
     compute-heavy stage (regex extraction, shingle hashing) runs serially
     regardless of core count. At real scale the scan already has thousands
-    of splits and this is a no-op (no extra shuffle)."""
+    of splits and this is a no-op (no extra shuffle).
+
+    The partition count is read from the JVM-side RDD (``df._jdf.rdd()``),
+    not ``df.rdd`` — the Python RDD property builds the full
+    Arrow-deserializer conversion plan on every call, which is driver-side
+    overhead in hot query-construction paths (round-2 ADVICE)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        current = df._jdf.rdd().getNumPartitions()
+    except Exception:  # non-JVM backends (e.g. Spark Connect) fall back
+        current = df.rdd.getNumPartitions()
+    if current < target:
         return df.repartition(target)
     return df

@@ -162,14 +162,19 @@ def _capped_session_fn(max_events: int, gap_ms: int):
                     "truncated": [c[0] > max_events for c in closed],
                 }
             )
-        state.update((n, start_ms, end_ms))
-        # EVENT-time inactivity gap: the session closes when the stream's
-        # watermark passes (max observed event time + gap) — replayed
-        # historical data sessions split by their own timestamps, and a
-        # continuously-arriving key still closes once its EVENT times go
-        # quiet. (A ProcessingTimeTimeout here would make the gap
-        # wall-clock inactivity — divergent from batch group.sessionize.)
-        state.setTimeoutTimestamp(end_ms + gap_ms)
+        if end_ms is not None:
+            # Guard (round-2 ADVICE): an invocation carrying only empty Arrow
+            # batches with no existing state would leave end_ms None —
+            # setting a timeout from it would TypeError and (0, None, None)
+            # state would shadow a real session. Skip the update entirely.
+            state.update((n, start_ms, end_ms))
+            # EVENT-time inactivity gap: the session closes when the stream's
+            # watermark passes (max observed event time + gap) — replayed
+            # historical data sessions split by their own timestamps, and a
+            # continuously-arriving key still closes once its EVENT times go
+            # quiet. (A ProcessingTimeTimeout here would make the gap
+            # wall-clock inactivity — divergent from batch group.sessionize.)
+            state.setTimeoutTimestamp(end_ms + gap_ms)
         yield pd.DataFrame(
             {
                 "user_id": pd.Series([], dtype="int64"),
