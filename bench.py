@@ -27,29 +27,30 @@ from hypertrace_ingester_spark.queries import REGISTRY, _load_extensions
 _load_extensions()
 from hypertrace_ingester_spark.session import get_spark
 
+# round-3 note: catalog consolidated to 50 entries (driver samples the
+# first 50); v_span_event_view / v_service_call_view / e_backend_classify
+# now carry the full spans-domain semantics formerly under *_full/_edges/
+# _providers names, and d_text_profile fuses the five per-doc text metrics.
 HEADLINE = [
     "q1_pricing_summary",
     "e_multihop_dims",
     "e_broadcast_endpoint",
     "g_sessionize",
-    "g_row_cap",
     "v_span_event_view",
     "v_service_call_rollup",
     "a_windowed_counts",
     "a_percentiles",
     "r_route_fanout",
     "d_exact_dedup",
-    "d_quality_score",
-    "d_lang_id",
+    "d_text_profile",
     "d_minhash_lsh",
     "d_simhash",
     "s_knn_bruteforce",
     "s_ann_lsh",
-    # round-2 span-domain + field-extraction additions
+    "s_ann_ivf",
     "g_api_nodes",
-    "v_span_event_full",
-    "v_service_call_edges",
-    "e_backend_providers",
+    "v_service_call_view",
+    "e_backend_classify",
     "p_http_fields",
 ]
 

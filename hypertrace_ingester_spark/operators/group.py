@@ -72,6 +72,33 @@ def session_summary(
     )
 
 
+def session_emit_capped(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+    tiebreak_col: str = "event_id",
+    gap_ms: int = SESSION_GAP_MS,
+) -> DataFrame:
+    """G1+G3+G2 in the reference's actual order (RawSpansProcessor stores at
+    most ``cap`` spans per trace, then the punctuator emits the capped
+    trace): sessionize, keep the first ``cap`` rows per session, close each
+    session with a truncation flag. ``session_end_ms`` is the last KEPT
+    row's timestamp — truncated sessions end at their cap, exactly like the
+    reference's emitted traces (RawSpansProcessor.java:347-388,
+    TraceEmitPunctuator.java:116-196). Same single shuffle on the group key
+    (the window and the aggregate share the partitioning)."""
+    sess = sessionize(df, group_col, ts_ms_col, tiebreak_col, gap_ms)
+    w = Window.partitionBy(group_col, "session_idx").orderBy(ts_ms_col, tiebreak_col)
+    ranked = sess.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy(group_col, "session_idx").agg(
+        F.sum(F.when(F.col("_rn") <= cap, 1).otherwise(0)).cast("long").alias("n_events"),
+        F.min(ts_ms_col).alias("session_start_ms"),
+        F.max(F.when(F.col("_rn") <= cap, F.col(ts_ms_col))).alias("session_end_ms"),
+        (F.max("_rn") > cap).alias("truncated"),
+    )
+
+
 def cap_rows_per_group(
     df: DataFrame,
     cap: int,

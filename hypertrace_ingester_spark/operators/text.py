@@ -86,6 +86,20 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-doc text metrics in ONE map-stage pass: token counts,
+    language ID, quality features, normalized fingerprint, and the distinct
+    shingle count (the primitive under MinHash/Jaccard dedup). One scan of
+    the text column instead of five — at 100 TB the scan dominates, so the
+    fused profile is the shape a real curation pipeline runs."""
+    from . import dedup as dd
+
+    return fingerprint(
+        quality_score(language_id(token_counts(docs, text_col), text_col), text_col),
+        text_col,
+    ).withColumn("n_shingles", F.size(dd.shingles(text_col)))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: md5 over lowercased,
     whitespace-collapsed text (md5 for DuckDB-oracle parity; xxhash64 at

@@ -237,42 +237,29 @@ _SESSION_SQL = f"""
 @register(
     "g_sessionize",
     _SESSION_SQL
-    + """
+    + """,
+    capped AS (
+      SELECT user_id, session_idx, ts_ms,
+             row_number() OVER (PARTITION BY user_id, session_idx
+                                ORDER BY ts_ms, event_id) AS rn
+      FROM sessions
+    )
     SELECT user_id, session_idx,
-           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
            min(ts_ms) AS session_start_ms,
-           max(ts_ms) AS session_end_ms
-    FROM sessions GROUP BY user_id, session_idx
+           max(CASE WHEN rn <= 5 THEN ts_ms END) AS session_end_ms,
+           max(rn) > 5 AS truncated
+    FROM capped GROUP BY user_id, session_idx
     """,
-    doc="G1/G2 — 30min-gap session-window trace assembly + emit "
-        "(RawSpansProcessor.java:186-247, TraceEmitPunctuator.java:116-196).",
+    doc="G1+G3+G2 — 30min-gap session assembly with the per-group span cap "
+        "applied BEFORE emit, exactly the reference's store→cap→punctuate "
+        "order (RawSpansProcessor.java:186-247, 347-388, "
+        "TraceEmitPunctuator.java:116-196): truncated sessions end at their "
+        "5th kept row and carry the truncation flag.",
 )
 def g_sessionize(spark, sf_dir):
-    df = grp.sessionize(_events(spark, sf_dir))
-    out = grp.session_summary(df)
-    return out.withColumn("session_idx", F.col("session_idx").cast("long")).withColumn(
-        "n_events", F.col("n_events").cast("long")
-    )
-
-
-@register(
-    "g_row_cap",
-    f"""
-    WITH e AS ({_EVENTS_SQL})
-    SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn FROM (
-      SELECT event_id, user_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
-      FROM e
-    ) WHERE rn <= 5
-    """,
-    doc="G3 — per-group row cap / truncation "
-        "(RawSpansProcessor.java:347-388).",
-)
-def g_row_cap(spark, sf_dir):
-    df = grp.cap_rows_per_group(
-        _events(spark, sf_dir), cap=5, group_cols=["user_id"], order_cols=["ts_ms", "event_id"]
-    )
-    return df.select("event_id", "user_id", F.col("rn").cast("long").alias("rn"))
+    out = grp.session_emit_capped(_events(spark, sf_dir), cap=5)
+    return out.withColumn("session_idx", F.col("session_idx").cast("long"))
 
 
 @register(
@@ -290,35 +277,10 @@ def g_distinct_collect(spark, sf_dir):
     return grp.group_distinct_stats(load_table(spark, sf_dir, "events"), "user_id", "event_type")
 
 
-@register(
-    "g_peer_correlation",
-    f"""
-    WITH e AS ({_EVENTS_SQL}),
-    clients AS (
-      SELECT user_id, min(k_val) AS peer_key FROM e WHERE event_type = 'signup' GROUP BY user_id
-    )
-    SELECT e.event_id, e.user_id, clients.peer_key
-    FROM e JOIN clients ON e.user_id = clients.user_id
-    WHERE e.event_type = 'purchase'
-    """,
-    doc="G4 — peer-identity correlation: derived lookup from one record "
-        "class joined onto another (RawSpansProcessor.java:249-333).",
-)
-def g_peer_correlation(spark, sf_dir):
-    e = _events(spark, sf_dir)
-    clients = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("k_val").alias("peer_key"))
-    )
-    # clients is a per-user aggregate of the fact table — it grows with user
-    # count, not a bounded dim, so no broadcast hint: AQE broadcasts while
-    # it fits and falls back to shuffle join at scale.
-    return (
-        e.filter(F.col("event_type") == "purchase")
-        .join(clients, on="user_id")
-        .select("event_id", "user_id", "peer_key")
-    )
+# G4 peer correlation is registered as "g_peer_correlation" in
+# queries_spans.py — the full composite-IP-tuple form (swapped-address
+# lookup, null validation) over the spans domain subsumed the earlier
+# derived-lookup toy that lived here.
 
 
 # ---------------------------------------------------------------------------
@@ -396,95 +358,60 @@ def e_multihop_dims(spark, sf_dir):
 @register(
     "e_status_map",
     """
-    SELECT event_id,
-           CASE event_type
-             WHEN 'error' THEN 'FAIL'
-             WHEN 'purchase' THEN 'SUCCESS'
-             WHEN 'signup' THEN 'SUCCESS'
-             WHEN 'click' THEN 'NEUTRAL'
-             WHEN 'view' THEN 'NEUTRAL'
-             ELSE 'UNKNOWN' END AS status_state
-    FROM events
+    WITH mapped AS (
+      SELECT user_id,
+             CASE event_type
+               WHEN 'error' THEN 'FAIL'
+               WHEN 'purchase' THEN 'SUCCESS'
+               WHEN 'signup' THEN 'SUCCESS'
+               WHEN 'click' THEN 'NEUTRAL'
+               WHEN 'view' THEN 'NEUTRAL'
+               ELSE 'UNKNOWN' END AS status_state
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS total_events,
+           CAST(sum(CASE WHEN status_state = 'FAIL' THEN 1 ELSE 0 END) AS BIGINT) AS fail_events,
+           CAST(sum(CASE WHEN status_state = 'SUCCESS' THEN 1 ELSE 0 END) AS BIGINT) AS success_events,
+           CAST(sum(CASE WHEN status_state = 'NEUTRAL' THEN 1 ELSE 0 END) AS BIGINT) AS neutral_events,
+           CAST(max(CASE WHEN status_state = 'FAIL' THEN 1 ELSE 0 END) AS BIGINT) AS has_error
+    FROM mapped GROUP BY user_id
     """,
-    doc="E2 — status-code → state/message mapping via broadcast code table "
-        "(ApiStatusEnricher.java:38-133, HttpCodeMapper analog).",
+    doc="E2+E7 — status-code → state mapping via broadcast code table "
+        "(ApiStatusEnricher.java:38-133, HttpCodeMapper analog), rolled up "
+        "to per-trace error/success totals exactly as the errors enricher "
+        "aggregates span statuses (ErrorsAndExceptionsEnricher.java:44-184); "
+        "the per-event mapping feeds the counts, so a mapping bug breaks "
+        "the hash.",
 )
 def e_status_map(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     dim = spark.createDataFrame(
         [(k, v) for k, v in vw.STATUS_STATE.items()], ["event_type", "status_state"]
     )
-    return (
-        df.join(F.broadcast(dim), on="event_type", how="left")
-        .withColumn("status_state", F.coalesce("status_state", F.lit("UNKNOWN")))
-        .select("event_id", "status_state")
+    mapped = df.join(F.broadcast(dim), on="event_type", how="left").withColumn(
+        "status_state", F.coalesce("status_state", F.lit("UNKNOWN"))
     )
 
+    def n_state(s):
+        return F.sum(F.when(F.col("status_state") == s, 1).otherwise(0)).cast("long")
 
-@register(
-    "e_span_type",
-    """
-    SELECT event_id,
-           CASE event_type
-             WHEN 'signup' THEN 'ENTRY' WHEN 'purchase' THEN 'ENTRY'
-             WHEN 'click' THEN 'EXIT' WHEN 'view' THEN 'EXIT'
-             ELSE 'UNSPECIFIED' END AS kind,
-           CASE WHEN value >= 100 THEN 'HIGH' ELSE 'LOW' END AS tier
-    FROM events
-    """,
-    doc="E1 — ENTRY/EXIT/UNSPECIFIED classification cascade "
-        "(SpanTypeAttributeEnricher.java:88-179) as a codegen'd when-ladder.",
-)
-def e_span_type(spark, sf_dir):
-    df = load_table(spark, sf_dir, "events")
-    return df.select(
-        "event_id",
-        vw._case("event_type", vw.SPAN_KIND, "UNSPECIFIED").alias("kind"),
-        F.when(F.col("value") >= 100, "HIGH").otherwise("LOW").alias("tier"),
-    )
-
-
-@register(
-    "e_error_counts",
-    """
-    SELECT user_id,
-           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
-           CAST(count(*) AS BIGINT) AS total_events,
-           CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS has_error
-    FROM events GROUP BY user_id
-    """,
-    doc="E7 — per-span error flags rolled up to trace-level totals "
-        "(ErrorsAndExceptionsEnricher.java:44-184).",
-)
-def e_error_counts(spark, sf_dir):
-    df = load_table(spark, sf_dir, "events")
-    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
-    return df.groupBy("user_id").agg(
-        F.sum(is_err).cast("long").alias("error_events"),
+    return mapped.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("total_events"),
-        F.max(is_err).cast("long").alias("has_error"),
+        n_state("FAIL").alias("fail_events"),
+        n_state("SUCCESS").alias("success_events"),
+        n_state("NEUTRAL").alias("neutral_events"),
+        F.max(F.when(F.col("status_state") == "FAIL", 1).otherwise(0))
+        .cast("long")
+        .alias("has_error"),
     )
 
 
-@register(
-    "e_transaction_name",
-    f"""
-    WITH e AS ({_EVENTS_SQL})
-    SELECT DISTINCT user_id,
-           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS transaction_name
-    FROM e
-    """,
-    doc="E6/E14 — trace attr from earliest member: transaction name / head "
-        "event (TransactionNameEnricher.java:24-49, TraceStatsEnricher).",
-)
-def e_transaction_name(spark, sf_dir):
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    return (
-        _events(spark, sf_dir)
-        .withColumn("transaction_name", F.first("event_type").over(w))
-        .select("user_id", "transaction_name")
-        .distinct()
-    )
+# E1 span-type classification is registered as "e_span_type" in
+# queries_fieldgen.py — the full otel/OC/Client-flag/envoy/Sent.-Recv.
+# alias cascade plus protocol detection subsumed the earlier event-type
+# when-ladder that lived here. E7 error rollups merged into e_status_map
+# above; E6/E14 transaction naming merged into v_raw_trace_view below.
 
 
 # ---------------------------------------------------------------------------
@@ -549,63 +476,45 @@ def r_bypass_branch(spark, sf_dir):
 # VIEWS (SURVEY.md §2.5 V1-V6)
 # ---------------------------------------------------------------------------
 
-@register(
-    "v_span_event_view",
-    f"""
-    SELECT event_id, user_id, ts_ms, event_type,
-           CASE event_type WHEN 'signup' THEN 'ENTRY' WHEN 'purchase' THEN 'ENTRY'
-                WHEN 'click' THEN 'EXIT' WHEN 'view' THEN 'EXIT'
-                ELSE 'UNSPECIFIED' END AS kind,
-           CASE event_type WHEN 'error' THEN 'FAIL' WHEN 'purchase' THEN 'SUCCESS'
-                WHEN 'signup' THEN 'SUCCESS' WHEN 'click' THEN 'NEUTRAL'
-                WHEN 'view' THEN 'NEUTRAL' ELSE 'UNKNOWN' END AS status_state,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-           round(value, 2) AS value_r
-    FROM ({_EVENTS_SQL.replace("AS k_val", "AS k_val_raw")})
-    """,
-    doc="V1 — SpanEventView: per-record enriched projection "
-        "(SpanEventViewGenerator.java:51-327).",
-)
-def v_span_event_view(spark, sf_dir):
-    return vw.span_event_view(load_table(spark, sf_dir, "events"))
+# V1 SpanEventView is registered as "v_span_event_view" in
+# queries_spans.py — the ancestor-walk form (api_trace_id, display names
+# via the exit→callee map) subsumed the flat projection that lived here;
+# V4 likewise: "v_service_call_view" there carries the 4-scenario union.
 
 
 @register(
     "v_raw_trace_view",
     f"""
-    WITH e AS ({_EVENTS_SQL})
-    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    WITH e AS ({_EVENTS_SQL}),
+    t AS (
+      SELECT DISTINCT user_id,
+             first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+                 AS transaction_name
+      FROM e
+    )
+    SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
            max(ts_ms) - min(ts_ms) AS duration_ms,
-           round(sum(value), 2) AS total_value
-    FROM e GROUP BY user_id
+           round(sum(value), 2) AS total_value,
+           t.transaction_name
+    FROM e JOIN t ON t.user_id = e.user_id
+    GROUP BY e.user_id, t.transaction_name
     """,
-    doc="V3 — RawTraceView: one row per trace-analog "
-        "(RawTraceViewGenerator.java:26-82).",
+    doc="V3+E6/E14 — RawTraceView: one row per trace-analog "
+        "(RawTraceViewGenerator.java:26-82) carrying the trace attribute "
+        "from its earliest member — the transaction name / head event "
+        "(TransactionNameEnricher.java:24-49, TraceStatsEnricher).",
 )
 def v_raw_trace_view(spark, sf_dir):
-    return vw.raw_trace_view(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "v_service_call_view",
-    f"""
-    WITH e AS ({_EVENTS_SQL})
-    SELECT user_id,
-           event_id AS src_event_id,
-           lead(event_id) OVER w AS dst_event_id,
-           event_type AS caller,
-           lead(event_type) OVER w AS callee,
-           lead(ts_ms) OVER w - ts_ms AS latency_ms
-    FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-    QUALIFY dst_event_id IS NOT NULL
-    """,
-    doc="V4 — ServiceCallView caller/callee edges: exit→entry pairing as "
-        "lead() adjacency (ServiceCallViewGenerator.java:95-150).",
-)
-def v_service_call_view(spark, sf_dir):
-    return vw.service_call_view(load_table(spark, sf_dir, "events"))
+    base = vw.raw_trace_view(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    txn = (
+        _events(spark, sf_dir)
+        .withColumn("transaction_name", F.first("event_type").over(w))
+        .select("user_id", "transaction_name")
+        .distinct()
+    )
+    return base.join(txn, on="user_id")
 
 
 @register(
@@ -774,20 +683,11 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
-@register(
-    "q_topk_orders",
-    """
-    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           CAST(count(*) AS BIGINT) AS n_items
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderkey
-    ORDER BY revenue DESC, o.o_orderkey ASC
-    LIMIT 10
-    """,
-    doc="Top-k by aggregate with deterministic tiebreak — "
-        "TakeOrderedAndProject physical op (no global sort).",
-)
 def q_topk_orders(spark, sf_dir):
+    """Top-k by aggregate with deterministic tiebreak — TakeOrderedAndProject
+    physical op (no global sort). Out of the 50-entry driver catalog (its
+    plan shape is also exercised by s_knn_bruteforce's two-phase top-k);
+    kept as a library query, oracle-checked in tests/test_oracle_extras.py."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -820,25 +720,6 @@ def d_exact_dedup(spark, sf_dir):
     return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "d_token_count",
-    """
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
-    FROM documents
-    """,
-    doc="Token counting: whitespace words + BPE-ish chars/4 estimate.",
-)
-def d_token_count(spark, sf_dir):
-    df = txt.token_counts(load_table(spark, sf_dir, "documents"))
-    return df.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_tokens_est").cast("long").alias("n_tokens_est"),
-    )
-
-
 _STOPS_SQL = {
     lang: "[" + ", ".join(f"'{w}'" for w in stops) + "]"
     for lang, stops in txt.LANG_STOPWORDS.items()
@@ -846,93 +727,61 @@ _STOPS_SQL = {
 
 
 @register(
-    "d_lang_id",
-    f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
+    "d_text_profile",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    scored AS (
+      SELECT *,
              {", ".join(
-                 f"len(list_filter(string_split(text, ' '), w -> list_contains({_STOPS_SQL[lang]}, w))) AS s_{lang}"
+                 f"len(list_filter(ws, w -> list_contains({_STOPS_SQL[lang]}, w))) AS s_{lang}"
                  for lang in sorted(txt.LANG_STOPWORDS)
-             )}
-      FROM documents
+             )},
+             floor(list_sum(list_transform(ws, x -> length(x))) * 1.0 / greatest(len(ws), 1) * 100 + 0.5) / 100 AS mean_word_len
+      FROM base
     )
     SELECT doc_id, lang,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
            CASE
              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk'
              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-             ELSE 'fr' END AS pred_lang
-    FROM scored
-    """,
-    doc="Language-ID heuristic: per-language stopword votes, argmax with "
-        "deterministic tiebreak (sorted language order, later wins on "
-        "strictly greater).",
-)
-def d_lang_id(spark, sf_dir):
-    df = txt.language_id(load_table(spark, sf_dir, "documents"))
-    return df.select("doc_id", "lang", "pred_lang")
-
-
-@register(
-    "d_quality_score",
-    f"""
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ),
-    feat AS (
-      SELECT doc_id,
-             CAST(len(ws) AS BIGINT) AS n_words,
-             floor(list_sum(list_transform(ws, x -> length(x))) * 1.0 / greatest(len(ws), 1) * 100 + 0.5) / 100 AS mean_word_len,
-             floor(len(list_filter(ws, x -> list_contains({_STOPS_SQL['en']}, x))) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS stopword_ratio
-      FROM w
-    )
-    SELECT doc_id, n_words, mean_word_len, stopword_ratio,
-           (n_words >= 10 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS quality_keep
-    FROM feat
-    """,
-    doc="Quality scoring: word count, mean word length, stopword ratio, "
-        "composite keep flag (Gopher-rules shape).",
-)
-def d_quality_score(spark, sf_dir):
-    df = txt.quality_score(load_table(spark, sf_dir, "documents"))
-    return df.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        "mean_word_len",
-        "stopword_ratio",
-        "quality_keep",
-    )
-
-
-@register(
-    "d_fingerprint",
-    r"""
-    SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS doc_fp
-    FROM documents
-    """,
-    doc="Document fingerprint: md5 of normalized (lower, ws-collapsed) text.",
-)
-def d_fingerprint(spark, sf_dir):
-    return txt.fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "doc_fp")
-
-
-@register(
-    "d_ngram_profile",
-    """
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-    SELECT doc_id,
+             ELSE 'fr' END AS pred_lang,
+           mean_word_len,
+           floor(s_en * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS stopword_ratio,
+           (len(ws) >= 10 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS quality_keep,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS doc_fp,
            CAST(len(list_distinct(list_transform(
              range(1, greatest(len(ws) - 2, 0) + 1),
              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS BIGINT) AS n_shingles
-    FROM w
+    FROM scored
     """,
-    doc="n-gram shingle profile: distinct word-3-gram count per doc (the "
-        "shared primitive under MinHash/Jaccard dedup).",
+    doc="Fused per-doc text profile — token counting (whitespace words + "
+        "BPE-ish chars/4 estimate), stopword-vote language ID (argmax, "
+        "deterministic tiebreak), quality features (mean word length, "
+        "stopword ratio, Gopher-shape keep flag), normalized md5 "
+        "fingerprint, and the distinct 3-gram shingle count (the primitive "
+        "under MinHash/Jaccard dedup) — ONE scan of the text column "
+        "(text.text_profile); at 100 TB the scan dominates, so curation "
+        "metrics are computed fused, never as five passes.",
 )
-def d_ngram_profile(spark, sf_dir):
-    df = load_table(spark, sf_dir, "documents")
-    return df.select("doc_id", F.size(dd.shingles()).cast("long").alias("n_shingles"))
+def d_text_profile(spark, sf_dir):
+    df = txt.text_profile(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens_est").cast("long").alias("n_tokens_est"),
+        "pred_lang",
+        "mean_word_len",
+        "stopword_ratio",
+        "quality_keep",
+        "doc_fp",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
 
 
 @register(
@@ -1027,17 +876,12 @@ def s_ann_lsh(spark, sf_dir):
 # Additional operator-parity queries
 # ---------------------------------------------------------------------------
 
-@register(
-    "p_grok_pandas",
-    r"""
-    SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_word
-    FROM documents
-    """,
-    doc="P10 pandas path — the Arrow-batched mapInPandas grok variant "
-        "(grok_extract_pandas), proven equal to the JVM regexp path; for "
-        "patterns needing Python-only regex features.",
-)
 def p_grok_pandas(spark, sf_dir):
+    """P10 pandas path — the Arrow-batched mapInPandas grok variant
+    (grok_extract_pandas), for patterns needing Python-only regex features.
+    Out of the 50-entry driver catalog: equality with the JVM regexp path
+    (p_grok_extract's extractor) is asserted in tests/test_parse.py and
+    tests/test_oracle_extras.py instead."""
     df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = parse_ops.grok_extract_pandas(
         df, line_col="text", fields=[("first_word", r"^(\w+)", None)]
@@ -1045,23 +889,10 @@ def p_grok_pandas(spark, sf_dir):
     return out.select("doc_id", "first_word")
 
 
-@register(
-    "a_metric_key",
-    f"""
-    WITH e AS ({_EVENTS_SQL})
-    SELECT md5(concat_ws('|', 'num_calls', event_type,
-                         CAST(ts_ms - ts_ms % 3600000 AS VARCHAR))) AS metric_key,
-           CAST(count(*) AS BIGINT) AS value
-    FROM e GROUP BY 1
-    """,
-    doc="A1 key generation — MetricIdentity = hash(metric name + sorted "
-        "attr tuple) (MetricsProcessor.java:129-136 uuid5 analog as md5).",
-)
-def a_metric_key(spark, sf_dir):
-    e = _events(spark, sf_dir)
-    bucket = (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).cast("string")
-    key = F.md5(F.concat_ws("|", F.lit("num_calls"), F.col("event_type"), bucket))
-    return e.groupBy(key.alias("metric_key")).agg(F.count(F.lit(1)).alias("value"))
+# A1 metric-key generation (MetricIdentity = hash of metric name + attr
+# tuple + window, MetricsProcessor.java:129-136) is folded into
+# "a_otlp_gauges" in queries_fieldgen.py — each gauge data point carries
+# its md5 metric_key.
 
 
 @register(
@@ -1151,42 +982,10 @@ def e_exit_calls(spark, sf_dir):
     )
 
 
-@register(
-    "e_backend_classify",
-    """
-    SELECT event_id,
-           CASE WHEN event_type IN ('click', 'view') THEN 'WEB'
-                WHEN event_type = 'purchase' THEN 'PAYMENT'
-                WHEN event_type = 'signup' THEN 'AUTH'
-                ELSE 'UNKNOWN' END AS backend_type,
-           md5(concat_ws(':',
-                CASE WHEN event_type IN ('click', 'view') THEN 'WEB'
-                     WHEN event_type = 'purchase' THEN 'PAYMENT'
-                     WHEN event_type = 'signup' THEN 'AUTH'
-                     ELSE 'UNKNOWN' END,
-                CAST(user_id % 10 AS VARCHAR))) AS backend_id
-    FROM events
-    """,
-    doc="E8 — backend-entity resolution: provider-chain type classification "
-        "+ deterministic identity hash instead of entity-service upsert "
-        "(AbstractBackendEntityEnricher.java:96-197; sha2(type,host,port) "
-        "identity per SURVEY §2.4).",
-)
-def e_backend_classify(spark, sf_dir):
-    df = load_table(spark, sf_dir, "events")
-    btype = (
-        F.when(F.col("event_type").isin("click", "view"), "WEB")
-        .when(F.col("event_type") == "purchase", "PAYMENT")
-        .when(F.col("event_type") == "signup", "AUTH")
-        .otherwise("UNKNOWN")
-    )
-    return df.select(
-        "event_id",
-        btype.alias("backend_type"),
-        F.md5(F.concat_ws(":", btype, (F.col("user_id") % 10).cast("string"))).alias(
-            "backend_id"
-        ),
-    )
+# E8 backend-entity resolution is registered as "e_backend_classify" in
+# queries_spans.py — the full 10-provider cascade (decoy keys, default-port
+# strip, JDBC authority parse, FQN rejection anti-join) over the spans
+# domain subsumed the event-type classification toy that lived here.
 
 
 @register(

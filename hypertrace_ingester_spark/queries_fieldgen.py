@@ -226,21 +226,57 @@ def p_http_fields(spark, sf_dir):
            WHEN m % 4 = 2 AND m % 6 = 0 THEN m % 20 + 1 END AS grpc_request_size,
       CASE WHEN m % 3 = 0
            THEN 'k1=v' || CAST(m % 5 AS VARCHAR) || ',k2=w0' ELSE '' END AS md_kv,
-      CASE WHEN m % 7 = 0 THEN 'E' || CAST(m % 4 AS VARCHAR) END AS grpc_error_name
+      CASE WHEN m % 7 = 0 THEN 'E' || CAST(m % 4 AS VARCHAR) END AS grpc_error_name,
+      -- E15 endpoint/url: grpc.path itself triggers the grpc.* prefix
+      -- scan, so m%5=3 rows are GRPC even without rpc.system
+      CASE WHEN m % 2 = 0 OR m % 5 = 3 THEN
+        (CASE m % 3 WHEN 0 THEN 'Recv.' WHEN 1 THEN 'Sent.' ELSE '' END) ||
+        (CASE m % 5
+           WHEN 0 THEN 'Svc.M' || CAST(m % 4 AS VARCHAR)
+           WHEN 1 THEN 'pkg.Svc.M' || CAST(m % 4 AS VARCHAR)
+           WHEN 2 THEN 'Svc' || CAST(m % 3 AS VARCHAR) || '.M' || CAST(m % 4 AS VARCHAR)
+           WHEN 3 THEN 'pkg.P.Q' || CAST(m % 4 AS VARCHAR)
+           ELSE 'op_plain' END)
+      END AS grpc_request_url
     FROM e
     """,
-    doc="P11 GRPC/RPC extraction (GrpcFieldsGenerator.java:46-341, "
+    doc="P11+E15 GRPC/RPC extraction (GrpcFieldsGenerator.java:46-341, "
         "RpcSemanticConventionUtils.java:88-95): 5-alias status-code "
         "priority with decoy, census/envoy status message, grpc/rpc method "
         "aliases, the envoy→content-length→body-length size chain gated on "
-        "truncation flags, and Metadata(k=v,...) parsing dropping "
-        "malformed entries.",
+        "truncation flags, Metadata(k=v,...) parsing dropping malformed "
+        "entries; plus GrpcAttributeEnricher's request endpoint "
+        "(GrpcAttributeEnricher.java:21-48, RpcSemanticConventionUtils."
+        "getGrpcRequestEndpoint:509-539): priority Sent./Recv.-stripped "
+        "name > rpc metadata :path sanitized > rpc.service.method > "
+        "grpc.path sanitized > name, Recv./Sent. prefix by span kind, "
+        "GRPC-protocol spans only (separate tag frame so both alias tables "
+        "are exercised on every row).",
 )
 def p_grpc_fields(spark, sf_dir):
     e = _events_m(spark, sf_dir)
     m = F.col("m")
     sc = _s(m % 17)
-    df = e.withColumn(
+    # E15 inputs: span kind / op name and the endpoint-priority tag table
+    kind = F.when(m % 3 == 0, "ENTRY").when(m % 3 == 1, "EXIT").otherwise("UNSPECIFIED")
+    op_name = F.when(
+        m % 5 == 0, F.concat(F.lit("Sent.Svc.M"), _s(m % 4))
+    ).otherwise(F.lit("op_plain"))
+    url_tags = _tags(
+        {
+            "rpc.system": F.when(m % 2 == 0, F.lit("grpc")),
+            "rpc.request.metadata.:path": F.when(
+                (m % 5 == 1) | (m % 5 == 0),
+                F.concat(F.lit("/pkg.Svc/M"), _s(m % 4)),
+            ),
+            "rpc.service": F.when(m % 5 == 2, F.concat(F.lit("Svc"), _s(m % 3))),
+            "rpc.method": F.when(m % 5 == 2, F.concat(F.lit("M"), _s(m % 4))),
+            "grpc.path": F.when(m % 5 == 3, F.concat(F.lit("/pkg.P/Q"), _s(m % 4))),
+        }
+    )
+    df = e.withColumn("kind", kind).withColumn("op_name", op_name).withColumn(
+        "url_tags", url_tags
+    ).withColumn(
         "tags",
         _tags(
             {
@@ -279,6 +315,9 @@ def p_grpc_fields(spark, sf_dir):
         "grpc_request_size",
         _kv_string(F.col("grpc_request_metadata")).alias("md_kv"),
         "grpc_error_name",
+        fg.grpc_request_url(F.col("url_tags"), F.col("op_name"), F.col("kind")).alias(
+            "grpc_request_url"
+        ),
     )
 
 
@@ -298,17 +337,46 @@ def p_grpc_fields(spark, sf_dir):
            THEN 'jdbc:mysql://db' || CAST(m % 3 AS VARCHAR) || ':3306/shop'
       END AS sql_url,
       CASE WHEN m % 5 = 0 THEN '[' || CAST(m % 7 AS VARCHAR) || ']' END AS sql_params,
-      CASE WHEN m % 6 = 0 THEN '4200' || CAST(m % 2 AS VARCHAR) END AS sql_sqlstate
+      CASE WHEN m % 6 = 0 THEN '4200' || CAST(m % 2 AS VARCHAR) END AS sql_sqlstate,
+      -- P13 dispatcher columns (separate tag frame with its own arithmetic)
+      CASE WHEN m % 2 = 0 THEN 'GET' END AS disp_http_method,
+      m % 17 AS disp_grpc_status_code,
+      CASE WHEN m % 3 = 0 THEN 'SELECT 1' END AS disp_sql_query,
+      CASE WHEN m % 4 = 0
+           THEN 'another=x,custom.key=c' || CAST(m % 5 AS VARCHAR)
+           ELSE 'custom.key=c' || CAST(m % 5 AS VARCHAR) END AS residual_kv
     FROM e
     """,
-    doc="P12 SQL extraction (SqlFieldsGenerator.java:23-74): sql.query/"
+    doc="P12+P13 SQL extraction (SqlFieldsGenerator.java:23-74): sql.query/"
         "db.statement priority with decoy, sql.db_type/db.system, url, "
-        "params, sqlstate.",
+        "params, sqlstate; plus the P13 dispatcher (FieldsGenerator.java:"
+        "69-105) over a second tag frame: one pass routes every tag to its "
+        "protocol generator, keys claimed by no exact generator key or "
+        "prefix family land in the residual attribute bag (claimed prefix "
+        "keys like http.request.header.* do NOT).",
 )
 def p_sql_fields(spark, sf_dir):
     e = _events_m(spark, sf_dir)
     m = F.col("m")
-    df = e.withColumn(
+    disp_tags = _tags(
+        {
+            "http.method": F.when(m % 2 == 0, F.lit("GET")),
+            "grpc.status_code": _s(m % 17),
+            "sql.query": F.when(m % 3 == 0, F.lit("SELECT 1")),
+            "custom.key": F.concat(F.lit("c"), _s(m % 5)),
+            "another": F.when(m % 4 == 0, F.lit("x")),
+            "http.request.header.h1": F.lit("v"),  # claimed prefix
+        }
+    )
+    disp = fg.extract_all_fields(e.withColumn("tags_d", disp_tags), "tags_d").select(
+        "event_id",
+        "m",
+        F.col("http_method").alias("disp_http_method"),
+        F.col("grpc_status_code").alias("disp_grpc_status_code"),
+        F.col("sql_query").alias("disp_sql_query"),
+        _kv_string(F.col("attributes")).alias("residual_kv"),
+    )
+    df = disp.withColumn(
         "tags",
         _tags(
             {
@@ -328,7 +396,8 @@ def p_sql_fields(spark, sf_dir):
     )
     out = fg.sql_fields(df, "tags")
     return out.select(
-        "event_id", "sql_query", "sql_db_type", "sql_url", "sql_params", "sql_sqlstate"
+        "event_id", "sql_query", "sql_db_type", "sql_url", "sql_params", "sql_sqlstate",
+        "disp_http_method", "disp_grpc_status_code", "disp_sql_query", "residual_kv",
     )
 
 
@@ -337,7 +406,7 @@ def p_sql_fields(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
-    "e_span_kind_aliases",
+    "e_span_type",
     f"""
     WITH e AS ({_E_SQL})
     SELECT event_id,
@@ -363,7 +432,7 @@ def p_sql_fields(spark, sf_dir):
         "rpc.system / OT component / grpc.*-prefix scan, then http scheme, "
         "then the http.*-prefix scan vetoed by grpc keys.",
 )
-def e_span_kind_aliases(spark, sf_dir):
+def e_span_type(spark, sf_dir):
     e = _events_m(spark, sf_dir)
     m = F.col("m")
     otel_val = (
@@ -409,26 +478,37 @@ def e_span_kind_aliases(spark, sf_dir):
 @register(
     "p_tag_normalize",
     f"""
-    WITH e AS ({_E_SQL})
-    SELECT event_id,
+    WITH e AS ({_E_SQL}),
+    ranked AS (
+      SELECT e.event_id, e.m, e.m % 5 AS tenant_id,
+             row_number() OVER (PARTITION BY e.m % 5, ev.event_type
+                                ORDER BY epoch_ms(ev.ts), e.event_id) AS rn
+      FROM e JOIN events ev ON ev.event_id = e.event_id
+    )
+    SELECT event_id, tenant_id,
       CASE WHEN m % 2 = 0
            THEN 'env=w' || CAST(m % 5 AS VARCHAR)
                 || ',http.method=GET,x-b3-traceid=t' || CAST(m % 7 AS VARCHAR)
            ELSE 'env=v' || CAST(m % 3 AS VARCHAR)
                 || ',http.method=GET,x-b3-traceid=t' || CAST(m % 7 AS VARCHAR)
       END AS tags_kv
-    FROM e
+    FROM ranked WHERE rn <= 50
     """,
-    doc="P3+P4 — lowercase tag keys with last-wins dedup (HashMap.put "
-        "semantics, JaegerSpanPreProcessor.java:100-106; "
-        "spark.sql.mapKeyDedupPolicy=LAST_WIN) then the allowlist filter: "
-        "keep iff no allowed prefix matches OR key explicitly allowlisted "
-        "(TagsFilter.java:65-100). 'Env' and 'env' collide after lowering "
-        "(later entry wins); 'internal.secret' is prefix-dropped; "
-        "'x-b3-traceid' matches a dropped prefix but is allowlisted.",
+    doc="P3+P4+P7 — the span-normalizer's filter chain in its real order: "
+        "lowercase tag keys with last-wins dedup (HashMap.put semantics, "
+        "JaegerSpanPreProcessor.java:100-106; "
+        "spark.sql.mapKeyDedupPolicy=LAST_WIN), the allowlist filter (keep "
+        "iff no allowed prefix matches OR key explicitly allowlisted, "
+        "TagsFilter.java:65-100), then per-(tenant, type) rate limiting "
+        "(token bucket collapses to 'first N rows per key' on bounded "
+        "input, RateLimitingSpanFilter.java:1-60; one shuffle on the key). "
+        "'Env' and 'env' collide after lowering (later entry wins); "
+        "'internal.secret' is prefix-dropped; 'x-b3-traceid' matches a "
+        "dropped prefix but is allowlisted.",
 )
 def p_tag_normalize(spark, sf_dir):
     from .operators import parse as parse_ops
+    from .sources import load_table
 
     e = _events_m(spark, sf_dir)
     m = F.col("m")
@@ -448,40 +528,17 @@ def p_tag_normalize(spark, sf_dir):
     df = parse_ops.filter_tags(
         df, allowed_prefixes=["internal.", "x-b3-"], allowlist=["x-b3-traceid"]
     )
-    return df.select("event_id", _kv_string(F.col("attributes")).alias("tags_kv"))
-
-
-@register(
-    "p_rate_limit",
-    f"""
-    WITH e AS ({_E_SQL}),
-    ranked AS (
-      SELECT e.event_id, e.m % 5 AS tenant_id,
-             row_number() OVER (PARTITION BY e.m % 5, ev.event_type
-                                ORDER BY epoch_ms(ev.ts), e.event_id) AS rn
-      FROM e JOIN events ev ON ev.event_id = e.event_id
-    )
-    SELECT event_id, tenant_id FROM ranked WHERE rn <= 50
-    """,
-    doc="P7 — per-(tenant, type) rate limiting: the token bucket collapses "
-        "to 'first N rows per key' on bounded input "
-        "(RateLimitingSpanFilter.java:1-60); one shuffle on the key.",
-)
-def p_rate_limit(spark, sf_dir):
-    from .operators import parse as parse_ops
-    from .sources import load_table
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
-        (F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0)) % 5).alias(
-            "tenant_id"
-        ),
     )
+    keyed = df.withColumn("tenant_id", m % 5).join(ev, on="event_id")
     out = parse_ops.rate_limit_per_key(
-        ev, key_cols=["tenant_id", "event_type"], order_cols=["ts_ms", "event_id"], limit=50
+        keyed, key_cols=["tenant_id", "event_type"], order_cols=["ts_ms", "event_id"], limit=50
     )
-    return out.select("event_id", "tenant_id")
+    return out.select(
+        "event_id", "tenant_id", _kv_string(F.col("attributes")).alias("tags_kv")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -543,99 +600,8 @@ def p_user_agent(spark, sf_dir):
 # E15 — GRPC request endpoint/url; P13 — dispatcher; A3 — OTLP gauges
 # ---------------------------------------------------------------------------
 
-@register(
-    "e_grpc_request_url",
-    f"""
-    WITH e AS ({_E_SQL})
-    SELECT event_id,
-      -- grpc.path itself triggers the grpc.* prefix scan, so m%5=3
-      -- rows are GRPC even without rpc.system
-      CASE WHEN m % 2 = 0 OR m % 5 = 3 THEN
-        (CASE m % 3 WHEN 0 THEN 'Recv.' WHEN 1 THEN 'Sent.' ELSE '' END) ||
-        (CASE m % 5
-           WHEN 0 THEN 'Svc.M' || CAST(m % 4 AS VARCHAR)
-           WHEN 1 THEN 'pkg.Svc.M' || CAST(m % 4 AS VARCHAR)
-           WHEN 2 THEN 'Svc' || CAST(m % 3 AS VARCHAR) || '.M' || CAST(m % 4 AS VARCHAR)
-           WHEN 3 THEN 'pkg.P.Q' || CAST(m % 4 AS VARCHAR)
-           ELSE 'op_plain' END)
-      END AS grpc_request_url
-    FROM e
-    """,
-    doc="E15 GrpcAttributeEnricher (GrpcAttributeEnricher.java:21-48 + "
-        "RpcSemanticConventionUtils.getGrpcRequestEndpoint:509-539): "
-        "endpoint priority (Sent./Recv.-stripped name > rpc metadata :path "
-        "sanitized > rpc.service.method > grpc.path sanitized > name), "
-        "Recv./Sent. prefix by span kind, GRPC-protocol spans only.",
-)
-def e_grpc_request_url(spark, sf_dir):
-    e = _events_m(spark, sf_dir)
-    m = F.col("m")
-    kind = F.when(m % 3 == 0, "ENTRY").when(m % 3 == 1, "EXIT").otherwise("UNSPECIFIED")
-    op_name = F.when(
-        m % 5 == 0, F.concat(F.lit("Sent.Svc.M"), _s(m % 4))
-    ).otherwise(F.lit("op_plain"))
-    df = e.withColumn("kind", kind).withColumn("op_name", op_name).withColumn(
-        "tags",
-        _tags(
-            {
-                "rpc.system": F.when(m % 2 == 0, F.lit("grpc")),
-                "rpc.request.metadata.:path": F.when(
-                    (m % 5 == 1) | (m % 5 == 0),
-                    F.concat(F.lit("/pkg.Svc/M"), _s(m % 4)),
-                ),
-                "rpc.service": F.when(m % 5 == 2, F.concat(F.lit("Svc"), _s(m % 3))),
-                "rpc.method": F.when(m % 5 == 2, F.concat(F.lit("M"), _s(m % 4))),
-                "grpc.path": F.when(m % 5 == 3, F.concat(F.lit("/pkg.P/Q"), _s(m % 4))),
-            }
-        ),
-    )
-    return df.select(
-        "event_id",
-        fg.grpc_request_url(F.col("tags"), F.col("op_name"), F.col("kind")).alias(
-            "grpc_request_url"
-        ),
-    )
-
-
-@register(
-    "p_field_dispatch",
-    f"""
-    WITH e AS ({_E_SQL})
-    SELECT event_id,
-      CASE WHEN m % 2 = 0 THEN 'GET' END AS http_method,
-      m % 17 AS grpc_status_code,
-      CASE WHEN m % 3 = 0 THEN 'SELECT 1' END AS sql_query,
-      CASE WHEN m % 4 = 0
-           THEN 'another=x,custom.key=c' || CAST(m % 5 AS VARCHAR)
-           ELSE 'custom.key=c' || CAST(m % 5 AS VARCHAR) END AS attributes_kv
-    FROM e
-    """,
-    doc="P13 dispatcher (FieldsGenerator.java:69-105): one pass routes "
-        "every tag to its protocol generator; keys claimed by no exact "
-        "generator key or prefix family land in the residual attribute "
-        "bag (claimed prefix keys like http.request.header.* do NOT).",
-)
-def p_field_dispatch(spark, sf_dir):
-    e = _events_m(spark, sf_dir)
-    m = F.col("m")
-    df = e.withColumn(
-        "tags",
-        _tags(
-            {
-                "http.method": F.when(m % 2 == 0, F.lit("GET")),
-                "grpc.status_code": _s(m % 17),
-                "sql.query": F.when(m % 3 == 0, F.lit("SELECT 1")),
-                "custom.key": F.concat(F.lit("c"), _s(m % 5)),
-                "another": F.when(m % 4 == 0, F.lit("x")),
-                "http.request.header.h1": F.lit("v"),  # claimed prefix
-            }
-        ),
-    )
-    out = fg.extract_all_fields(df, "tags")
-    return out.select(
-        "event_id", "http_method", "grpc_status_code", "sql_query",
-        _kv_string(F.col("attributes")).alias("attributes_kv"),
-    )
+# E15 grpc request endpoint is folded into "p_grpc_fields" above (second
+# tag frame); the P13 dispatcher is folded into "p_sql_fields" above.
 
 
 @register(
@@ -652,13 +618,17 @@ def p_field_dispatch(spark, sf_dir):
     SELECT 'num_calls' AS metric_name,
            bucket_start_ms * 1000000 AS time_unix_nano,
            CAST(num_rows AS DOUBLE) AS gauge_value,
-           'event_type=' || COALESCE(event_type, '') AS attributes_kv
+           'event_type=' || COALESCE(event_type, '') AS attributes_kv,
+           md5(concat_ws('|', 'num_calls', 'event_type=' || COALESCE(event_type, ''),
+                         CAST(bucket_start_ms * 1000000 AS VARCHAR))) AS metric_key
     FROM w
     """,
-    doc="A3 OTLP conversion (MetricEmitPunctuator.java:78-131): windowed "
-        "counts flattened to ResourceMetrics gauge data points — metric "
-        "name, window-start time_unix_nano, double value, serialized "
-        "attribute tuple.",
+    doc="A3+A1-key OTLP conversion (MetricEmitPunctuator.java:78-131): "
+        "windowed counts flattened to ResourceMetrics gauge data points — "
+        "metric name, window-start time_unix_nano, double value, serialized "
+        "attribute tuple — each carrying its MetricIdentity key = hash of "
+        "metric name + attr tuple + window (MetricsProcessor.java:129-136 "
+        "uuid5 analog as md5).",
 )
 def a_otlp_gauges(spark, sf_dir):
     from .operators import aggregate as agg_ops
@@ -669,7 +639,18 @@ def a_otlp_gauges(spark, sf_dir):
     )
     bucket = (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("bucket_start_ms")
     metrics = e.groupBy(bucket, "event_type").agg(F.count(F.lit(1)).alias("num_rows"))
-    return agg_ops.to_otlp_gauges(metrics)
+    gauges = agg_ops.to_otlp_gauges(metrics)
+    return gauges.withColumn(
+        "metric_key",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("metric_name"),
+                F.col("attributes_kv"),
+                F.col("time_unix_nano").cast("string"),
+            )
+        ),
+    )
 
 
 @register(

@@ -59,7 +59,7 @@ def g_api_edges(spark, sf_dir):
 
 
 @register(
-    "v_span_event_full",
+    "v_span_event_view",
     _W + """,
     walk AS (
       SELECT trace_id, span_id, span_id AS cur FROM flags
@@ -135,7 +135,7 @@ def v_span_event_full(spark, sf_dir):
 
 
 @register(
-    "v_service_call_edges",
+    "v_service_call_view",
     _W + "," + spandom.MEMBERS_SQL + """,
     edges AS (
       SELECT m.tenant_id, m.trace_id, m.span_id AS src_span_id,
@@ -273,7 +273,7 @@ def v_raw_service_view(spark, sf_dir):
 
 
 @register(
-    "e_backend_providers",
+    "e_backend_classify",
     _W + """,
     cand AS (
       SELECT *, kv AS m FROM flags WHERE kind = 'EXIT' AND is_leaf
@@ -400,7 +400,7 @@ def e_backend_providers(spark, sf_dir):
 
 
 @register(
-    "g_peer_ip_correlation",
+    "g_peer_correlation",
     _W + """,
     net AS (
       SELECT f.*, 'env_' || CAST(kv % 2 AS VARCHAR) AS env,
@@ -459,69 +459,6 @@ def g_peer_ip_correlation(spark, sf_dir):
 
 
 @register(
-    "e_space_ids",
-    _W + """,
-    sp_env AS (
-      SELECT trace_id, span_id, tenant_id, kv,
-             'env_' || CAST(kv % 3 AS VARCHAR) AS env_val,
-             CASE WHEN kv % 2 = 0 THEN 'team_' || CAST(kv % 4 AS VARCHAR) END AS team_val
-      FROM flags
-    ),
-    vals AS (
-      SELECT trace_id, env_val AS v FROM sp_env
-      UNION ALL
-      SELECT trace_id, team_val FROM sp_env
-      WHERE team_val IS NOT NULL AND tenant_id <= 2
-    ),
-    tr AS (
-      SELECT trace_id, string_agg(DISTINCT v, ',' ORDER BY v) AS trace_spaces
-      FROM vals GROUP BY trace_id
-    )
-    SELECT e.tenant_id, e.trace_id, e.span_id,
-           CASE WHEN e.tenant_id <= 2 AND e.kv % 2 = 0
-                THEN e.env_val || ',' || e.team_val
-                ELSE e.env_val END AS span_spaces,
-           tr.trace_spaces
-    FROM sp_env e JOIN tr ON tr.trace_id = e.trace_id
-    """,
-    doc="E11 space enrichment (SpaceEnricher.java:40-66): per-span space "
-        "ids = the span's values of the tenant's rule-selected attribute "
-        "keys (rules broadcast per tenant, missing/empty values filtered); "
-        "trace space ids = distinct union over the trace; arrays emitted "
-        "sorted for engine-independent comparison.",
-)
-def e_space_ids(spark, sf_dir):
-    from .operators import enrich as en
-
-    sp = spandom.spans(spark, sf_dir)
-    m = F.col("kv")
-    tagged = sp.withColumn(
-        "tags",
-        F.map_filter(
-            F.create_map(
-                F.lit("space.env"),
-                F.concat(F.lit("env_"), (m % 3).cast("string")),
-                F.lit("space.team"),
-                F.when(m % 2 == 0, F.concat(F.lit("team_"), (m % 4).cast("string"))),
-            ),
-            lambda k, v: v.isNotNull(),
-        ),
-    )
-    rules = spark.createDataFrame(
-        [(t, 0, "space.env") for t in range(5)]
-        + [(t, 1, "space.team") for t in range(3)]
-        + [(t, 1, "space.missing") for t in (3, 4)],
-        "tenant_id long, rule_order int, attr_key string",
-    )
-    out = en.space_ids(tagged, rules)
-    return out.select(
-        "tenant_id", "trace_id", "span_id",
-        F.concat_ws(",", F.col("span_space_ids")).alias("span_spaces"),
-        F.concat_ws(",", F.col("trace_space_ids")).alias("trace_spaces"),
-    )
-
-
-@register(
     "g_latency_sample",
     _W + """
     SELECT tenant_id, trace_id,
@@ -545,26 +482,65 @@ def g_latency_sample(spark, sf_dir):
 
 @register(
     "e_entity_span",
-    _W + """
-    SELECT tenant_id, trace_id, span_id, service,
-           CASE WHEN kv % 4 <> 3
-                THEN 'ent_' || CAST(tenant_id AS VARCHAR) || '_' || service
+    _W + """,
+    sp_env AS (
+      SELECT trace_id, span_id, tenant_id, kv, service,
+             'env_' || CAST(kv % 3 AS VARCHAR) AS env_val,
+             CASE WHEN kv % 2 = 0 THEN 'team_' || CAST(kv % 4 AS VARCHAR) END AS team_val
+      FROM flags
+    ),
+    vals AS (
+      SELECT trace_id, env_val AS v FROM sp_env
+      UNION ALL
+      SELECT trace_id, team_val FROM sp_env
+      WHERE team_val IS NOT NULL AND tenant_id <= 2
+    ),
+    tr AS (
+      SELECT trace_id, string_agg(DISTINCT v, ',' ORDER BY v) AS trace_spaces
+      FROM vals GROUP BY trace_id
+    )
+    SELECT e.tenant_id, e.trace_id, e.span_id, e.service,
+           CASE WHEN e.kv % 4 <> 3
+                THEN 'ent_' || CAST(e.tenant_id AS VARCHAR) || '_' || e.service
            END AS entity_id,
-           CASE WHEN kv % 4 <> 3 THEN 'SERVICE' END AS entity_type,
-           CASE WHEN kv % 4 <> 3
-                THEN 'rel_' || CAST(tenant_id AS VARCHAR) || ',rel_a'
-           END AS related_kv
-    FROM flags
-    WHERE service IS NOT NULL
+           CASE WHEN e.kv % 4 <> 3 THEN 'SERVICE' END AS entity_type,
+           CASE WHEN e.kv % 4 <> 3
+                THEN 'rel_' || CAST(e.tenant_id AS VARCHAR) || ',rel_a'
+           END AS related_kv,
+           CASE WHEN e.tenant_id <= 2 AND e.kv % 2 = 0
+                THEN e.env_val || ',' || e.team_val
+                ELSE e.env_val END AS span_spaces,
+           tr.trace_spaces
+    FROM sp_env e JOIN tr ON tr.trace_id = e.trace_id
     """,
-    doc="E12 EntitySpanEnricher (enrichers/EntitySpanEnricher.java): "
-        "broadcast entity-relationship lookup on (tenant, service); spans "
-        "of unregistered services (svc_3 here) keep NULL entity columns.",
+    doc="E12+E11 — EntitySpanEnricher (enrichers/EntitySpanEnricher.java): "
+        "broadcast entity-relationship lookup on (tenant, service), spans "
+        "of unregistered services (svc_3 here) keep NULL entity columns; "
+        "fused with space enrichment (SpaceEnricher.java:40-66): per-span "
+        "space ids from the tenant's rule-selected attribute keys (rules "
+        "broadcast per tenant, missing/empty values filtered), trace space "
+        "ids = distinct union over the trace. The two enrichers run in one "
+        "pass over the span frame exactly as the reference chains them in "
+        "its enricher registry; arrays emitted sorted for "
+        "engine-independent comparison.",
 )
 def e_entity_span(spark, sf_dir):
     from .operators import enrich as en
 
     sp = spandom.spans(spark, sf_dir)
+    m = F.col("kv")
+    tagged = sp.withColumn(
+        "tags",
+        F.map_filter(
+            F.create_map(
+                F.lit("space.env"),
+                F.concat(F.lit("env_"), (m % 3).cast("string")),
+                F.lit("space.team"),
+                F.when(m % 2 == 0, F.concat(F.lit("team_"), (m % 4).cast("string"))),
+            ),
+            lambda k, v: v.isNotNull(),
+        ),
+    )
     # entity registry: every (tenant, service) except svc_3 (kv%4==3 rows
     # are exactly the svc_3 rows since service = 'svc_' || kv%4)
     entities = spark.createDataFrame(
@@ -577,11 +553,23 @@ def e_entity_span(spark, sf_dir):
         "tenant_id long, service string, entity_id string, entity_type string, "
         "related_entity_ids array<string>",
     )
-    out = en.entity_span_enrich(sp, entities)
+    rules = spark.createDataFrame(
+        [(t, 0, "space.env") for t in range(5)]
+        + [(t, 1, "space.team") for t in range(3)]
+        + [(t, 1, "space.missing") for t in (3, 4)],
+        "tenant_id long, rule_order int, attr_key string",
+    )
+    ent = en.entity_span_enrich(tagged, entities)
+    spc = en.space_ids(tagged, rules).select(
+        "trace_id", "span_id", "span_space_ids", "trace_space_ids"
+    )
+    out = ent.join(spc, on=["trace_id", "span_id"])
     return out.select(
         "tenant_id", "trace_id", "span_id", "service", "entity_id", "entity_type",
         F.when(
             F.col("related_entity_ids").isNotNull(),
             F.concat_ws(",", F.col("related_entity_ids")),
         ).alias("related_kv"),
+        F.concat_ws(",", F.col("span_space_ids")).alias("span_spaces"),
+        F.concat_ws(",", F.col("trace_space_ids")).alias("trace_spaces"),
     )
