@@ -1,0 +1,173 @@
+"""Pure-stdlib media codecs for the multimodal pipeline (driver mandate).
+
+No image/audio libraries ship in this container, so the decoders are
+implemented from the public container specs directly on stdlib + numpy:
+
+- PNG (ISO/IEC 15948): chunk walk, IHDR parse, zlib-inflated IDAT,
+  scanline unfiltering (filters 0-4) — supports non-interlaced 8-bit
+  grayscale / RGB / RGBA, which covers the synthetic corpus and common
+  training data; interlaced/16-bit/palette images raise ValueError.
+- WAV (RIFF PCM): stdlib ``wave`` for framing, numpy for sample decode
+  (16-bit PCM).
+
+Encoders exist so the synthetic media generator produces REAL container
+bytes — the decode path in operators/multimodal.py is exercised end-to-end
+with no fake seam for these two modalities.
+
+All functions are plain bytes→dict/ndarray transforms: they run inside
+Arrow-batched ``mapInPandas`` workers, never on the driver, and hold one
+image/clip at a time (bounded memory per the batch-size knob upstream).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples per pixel
+
+
+def is_png(data: bytes) -> bool:
+    return data[:8] == PNG_SIGNATURE
+
+
+def is_wav(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → HxWxC uint8 array (C=1 gray, 3 RGB, 4 RGBA)."""
+    if not is_png(data):
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG: depth={bit_depth} color={color_type} "
+                    f"interlace={interlace} (8-bit non-interlaced gray/RGB/RGBA only)"
+                )
+            channels = _CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG: scanline size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros_like(lines)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(height):
+        f, line = int(filters[y]), lines[y].astype(np.uint8)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = line + prev
+        else:  # Sub / Average / Paeth need the left neighbor serially per pixel
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else np.uint8(0)
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else np.uint8(0)
+                if f == 1:
+                    cur[x] = line[x] + left
+                elif f == 3:
+                    cur[x] = line[x] + np.uint8((int(left) + int(up)) // 2)
+                elif f == 4:
+                    cur[x] = line[x] + _paeth(
+                        np.uint8(left), np.uint8(up), np.uint8(ul)
+                    )
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+            out[y] = cur
+    return out.reshape(height, width, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWxC (or HxW) uint8 array → PNG bytes (filter 0, one IDAT)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    height, width, channels = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((height, 1), dtype=np.uint8), img.reshape(height, -1)], axis=1
+    )
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (16-bit PCM)
+# ---------------------------------------------------------------------------
+
+def decode_wav(data: bytes) -> dict:
+    """WAV bytes → dict(sample_rate, n_channels, n_samples, duration_ms,
+    samples: float64 ndarray in [-1, 1])."""
+    if not is_wav(data):
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        rate, n_ch, n_frames = w.getframerate(), w.getnchannels(), w.getnframes()
+        pcm = np.frombuffer(w.readframes(n_frames), dtype="<i2")
+    samples = pcm.astype(np.float64) / 32768.0
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_samples": n_frames,
+        "duration_ms": int(round(n_frames * 1000 / rate)),
+        "samples": samples,
+    }
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float array in [-1, 1] → 16-bit PCM mono WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Training-data-pipeline extension (driver mandate). The Spark-side plumbing —
-schemas, partitioning, Arrow-batched UDF signatures, batch shapes — is real
-and tested; the actual codec calls (PIL/ffmpeg/librosa are not in this
-container) are isolated behind ``_decode_bytes``, which either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-decode derived from the payload hash (test mode). Swapping in a real codec
-changes ONE function; every plan stays identical.
+Training-data-pipeline extension (driver mandate). Image (PNG) and audio
+(WAV) rows are decoded FOR REAL by the stdlib-only codecs in
+functions/codecs.py (chunk walk + zlib inflate + scanline unfiltering for
+PNG; RIFF PCM for WAV) — the synthetic generator emits genuine container
+bytes, so the decode path runs end-to-end with no fake. Video stays the
+documented codec seam (no container parser in the stdlib): strict mode
+raises, test mode derives a deterministic fake from the payload hash.
+Plugging ffmpeg in changes ONE branch of ``_decode_bytes``; every plan
+stays identical.
 
 Scale design: media rows are wide (payload ~MB) — ``mapInPandas`` with a
 small ``maxRecordsPerBatch`` keeps Arrow batches bounded; feature outputs
@@ -24,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,32 +51,65 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id string, kind string, n_bytes bigint, payload_hash string, "
-    "feat array<float>, decoded boolean"
+    "feat array<float>, decoded boolean, width int, height int, duration_ms int"
 )
 
 FRAME_SCHEMA = (
     "media_id string, frame_idx int, frame_ts_ms int, frame_hash string"
 )
 
-STRICT_DECODE = False  # real deployments flip this and plug a codec in
+STRICT_DECODE = False  # strict: video (no stdlib codec) raises instead of faking
 _FEAT_DIM = 8
 
 
-def _decode_bytes(payload: bytes, kind: str, strict: bool = STRICT_DECODE) -> np.ndarray:
-    """THE codec seam. STUB: no image/audio libs in this container.
+def _decode_bytes(payload: bytes, kind: str, strict: bool = STRICT_DECODE):
+    """THE codec seam → (feat float32[_FEAT_DIM], width, height, duration_ms,
+    decoded).
 
-    Strict mode raises (prod behavior without a codec); otherwise returns a
-    deterministic fake 'decode' — a feature vector derived from the sha256
-    of the payload, stable across runs/partitions so tests can assert exact
-    values."""
+    PNG and WAV payloads are decoded for real (functions/codecs.py):
+    image features = [1, width, height, channels, pixel mean/255, pixel
+    std/255, log1p(bytes), 0]; audio = [2, rate/1000, log1p(samples),
+    duration_s, rms, peak, log1p(bytes), 0]. Video (or any container the
+    stdlib can't parse) is the remaining seam: strict mode raises — prod
+    behavior without a codec — else a deterministic sha256-derived fake,
+    stable across runs/partitions so tests can assert exact values."""
+    if codecs.is_png(payload):
+        img = codecs.decode_png(payload)
+        h, w, c = img.shape
+        flat = img.astype(np.float64) / 255.0
+        feat = np.array(
+            [1.0, w, h, c, flat.mean(), flat.std(), np.log1p(len(payload)), 0.0],
+            dtype=np.float32,
+        )
+        return feat, w, h, None, True
+    if codecs.is_wav(payload):
+        wav = codecs.decode_wav(payload)
+        s = wav["samples"]
+        rms = float(np.sqrt((s * s).mean())) if len(s) else 0.0
+        peak = float(np.abs(s).max()) if len(s) else 0.0
+        feat = np.array(
+            [
+                2.0,
+                wav["sample_rate"] / 1000.0,
+                np.log1p(wav["n_samples"]),
+                wav["duration_ms"] / 1000.0,
+                rms,
+                peak,
+                np.log1p(len(payload)),
+                0.0,
+            ],
+            dtype=np.float32,
+        )
+        return feat, None, None, wav["duration_ms"], True
     if strict:
         raise NotImplementedError(
-            f"no codec available for kind={kind!r}; install a decoder and "
-            "replace _decode_bytes"
+            f"no codec available for kind={kind!r} payload; plug a decoder "
+            "into _decode_bytes (PNG/WAV decode natively)"
         )
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer(digest[: _FEAT_DIM * 4], dtype=np.uint32)
-    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+    feat = (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+    return feat, None, None, None, False
 
 
 def extract_features(media: DataFrame, batch_rows: int = 64,
@@ -86,12 +123,18 @@ def extract_features(media: DataFrame, batch_rows: int = 64,
 
     def extractor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, hashes, nbytes = [], [], []
+            feats, hashes, nbytes, decoded = [], [], [], []
+            widths, heights, durations = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 data = bytes(payload)
                 nbytes.append(len(data))
                 hashes.append(hashlib.sha256(data).hexdigest())
-                feats.append(_decode_bytes(data, kind, strict_flag))
+                feat, w, h, dur, ok = _decode_bytes(data, kind, strict_flag)
+                feats.append(feat)
+                widths.append(w)
+                heights.append(h)
+                durations.append(dur)
+                decoded.append(ok)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -99,7 +142,10 @@ def extract_features(media: DataFrame, batch_rows: int = 64,
                     "n_bytes": pd.Series(nbytes, dtype="int64"),
                     "payload_hash": hashes,
                     "feat": feats,
-                    "decoded": True,
+                    "decoded": pd.Series(decoded, dtype="bool"),
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
+                    "duration_ms": pd.Series(durations, dtype="Int32"),
                 }
             )
 
@@ -138,26 +184,60 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 16) 
     return media.filter(F.col("kind") == "video").mapInPandas(sampler, schema=FRAME_SCHEMA)
 
 
+AUDIO_RATE = 4000
+
+
+def media_image(i: int) -> np.ndarray:
+    """Deterministic pixel pattern for row i (gradient, seeded by id)."""
+    w, h = 16 + (i % 8) * 8, 16 + (i % 6) * 8
+    c = (3, 1, 4)[(i // 3) % 3]
+    yy, xx, cc = np.meshgrid(np.arange(h), np.arange(w), np.arange(c), indexing="ij")
+    return ((xx * 3 + yy * 5 + cc * 7 + i) % 256).astype(np.uint8)
+
+
+def media_audio(i: int) -> tuple[np.ndarray, int]:
+    """Deterministic sine clip for row i → (samples, duration_ms)."""
+    duration_ms = 500 + (i % 10) * 500
+    n = AUDIO_RATE * duration_ms // 1000
+    t = np.arange(n, dtype=np.float64) / AUDIO_RATE
+    freq = 100.0 + (i % 50) * 10.0
+    return 0.5 * np.sin(2 * np.pi * freq * t), duration_ms
+
+
 def generate_media(spark: SparkSession, n_rows: int, partitions: int = 8) -> DataFrame:
-    """Deterministic synthetic media table (seeded from row id, JVM-side
-    payload derivation — same pattern as datagen.generate_sequences)."""
-    df = spark.range(0, n_rows, numPartitions=partitions)
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.col("id"), 3) + 1).cast("int"),
-    )
-    payload = F.sha2(F.concat(F.lit("media-"), F.col("id").cast("string")), 512).cast("binary")
-    meta = F.struct(
-        F.when(kind == "image", (F.pmod(F.col("id"), 8) * 64 + 64).cast("int")).alias("width"),
-        F.when(kind == "image", (F.pmod(F.col("id"), 6) * 64 + 64).cast("int")).alias("height"),
-        F.when(kind != "image", (F.pmod(F.col("id"), 10) * 1000 + 500).cast("int")).alias(
-            "duration_ms"
-        ),
-        kind.alias("codec"),
-    )
-    return df.select(
-        F.format_string("media-%06d", "id").alias("media_id"),
-        kind.alias("kind"),
-        payload.alias("payload"),
-        meta.alias("meta"),
-    )
+    """Deterministic synthetic media table with REAL container payloads:
+    image rows are genuine PNG bytes (gradient pattern seeded by id), audio
+    rows genuine 16-bit PCM WAV sine clips, video rows the documented fake
+    (sha512-derived bytes — no stdlib video container). Payload synthesis
+    runs Arrow-batched on executors (``mapInPandas``), never on the
+    driver — the same distribution shape a real ingest scan has."""
+    base = spark.range(0, n_rows, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for raw_id in pdf["id"]:
+                i = int(raw_id)
+                kind = ("image", "audio", "video")[i % 3]
+                width = height = duration = None
+                if kind == "image":
+                    img = media_image(i)
+                    height, width = img.shape[0], img.shape[1]
+                    payload, codec = codecs.encode_png(img), "png"
+                elif kind == "audio":
+                    samples, duration = media_audio(i)
+                    payload, codec = codecs.encode_wav(samples, AUDIO_RATE), "pcm_s16le"
+                else:
+                    duration = (i % 10) * 1000 + 500
+                    payload, codec = hashlib.sha512(f"media-{i}".encode()).digest(), "fake-video"
+                ids.append(f"media-{i:06d}")
+                kinds.append(kind)
+                payloads.append(payload)
+                metas.append(
+                    {"width": width, "height": height, "duration_ms": duration, "codec": codec}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -655,12 +655,14 @@ def a_otlp_gauges(spark, sf_dir):
 
 @register(
     "x_multimodal_features",
-    None,  # sha512-derived payloads aren't reproducible in DuckDB core
-    doc="Multimodal plumbing under the gate (rows-only): synthetic binary "
-        "media -> mapInPandas decode/feature extraction (payload dropped "
-        "before the aggregate shuffle) -> per-kind rollup of byte counts "
-        "and distinct content hashes. The codec itself is the documented "
-        "deterministic-fake seam (operators/multimodal.py:61-76).",
+    None,  # binary container payloads aren't reproducible in DuckDB core
+    doc="Multimodal decode under the gate (rows-only): synthetic media with "
+        "REAL container payloads (PNG / 16-bit PCM WAV built and decoded by "
+        "the stdlib-only codecs in functions/codecs.py; video stays the "
+        "documented fake seam) -> mapInPandas decode/feature extraction "
+        "(payload dropped before the aggregate shuffle) -> per-kind rollup "
+        "of byte counts, distinct hashes, real-decode counts and decoded "
+        "dimensions.",
 )
 def x_multimodal_features(spark, sf_dir):
     from .operators import multimodal as mm
@@ -671,6 +673,9 @@ def x_multimodal_features(spark, sf_dir):
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.countDistinct("payload_hash").alias("n_distinct"),
+        F.sum(F.col("decoded").cast("int")).cast("long").alias("n_decoded"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
     )
 
 
