@@ -99,11 +99,50 @@ def main() -> None:
         force(qd.fn(spark, sf_dir))
         query_secs[name] = round(time.time() - t0, 3)
 
+    # --- ANN recall vs the exact baseline (same sf_dir embeddings) -------
+    # recall@5 over the 20-query fixture: each approximate path's neighbor
+    # pairs vs cosine_topk's. Reported so the recall/compute trade-off is a
+    # measured number, not a docstring claim.
+    from pyspark.sql import functions as F
+
+    from hypertrace_ingester_spark.operators import similarity as sim
+    from hypertrace_ingester_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann_queries = emb.filter(F.col("vec_id") < 20)
+
+    def recall(df, exact_pairs):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return round(len(got & exact_pairs) / len(exact_pairs), 3)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, ann_queries, k=5).collect()
+    }
+    trained = sim.fit_centroids(emb, 64)
+    ann_recall = {
+        "lsh_b8": recall(sim.ann_topk(emb, ann_queries, dim=64, k=5, bits=8), exact),
+        "lsh_b8_multiprobe4": recall(
+            sim.ann_topk(emb, ann_queries, dim=64, k=5, bits=8, nprobe=4), exact
+        ),
+        "ivf_random_p4": recall(sim.ivf_topk(emb, ann_queries, dim=64, k=5), exact),
+        "ivf_trained_p4": recall(
+            sim.ivf_topk(emb, ann_queries, dim=64, k=5, centroids=trained), exact
+        ),
+        "ivf_trained_p4_ma2": recall(
+            sim.ivf_topk(
+                emb, ann_queries, dim=64, k=5, centroids=trained, corpus_probe=2
+            ),
+            exact,
+        ),
+    }
+
     result = {
         "metric": "e2e_pipeline_sec",
         "value": round(pipeline_sec, 3),
         "unit": "sec",
         "queries": query_secs,
+        "ann_recall_at_5": ann_recall,
         "sf": sf,
         "pipeline_rows": n_rows,
         "throughput_seq_per_sec": round(n_rows / pipeline_sec, 1),

@@ -295,6 +295,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    corpus_probe: int = 1,
 ) -> DataFrame:
     """IVF ANN: corpus partitioned into inverted lists by coarse centroid;
     each query probes its ``nprobe`` nearest cells and reranks exactly
@@ -303,8 +304,16 @@ def ivf_topk(
     bounded by nprobe/n_cells of the corpus instead of an all-pairs scan.
     Recall loss = neighbors whose cell the query does not probe
     (documented; raise nprobe to trade compute for recall). Pass
-    ``centroids=fit_centroids(corpus, dim)`` for trained cells."""
-    c = ivf_assign(corpus, dim, n_cells, 1, id_col, vec_col, centroids).select(
+    ``centroids=fit_centroids(corpus, dim)`` for trained cells.
+
+    ``corpus_probe`` > 1 enables MULTIPLE ASSIGNMENT: each corpus vector is
+    listed in its ``corpus_probe`` nearest cells, multiplying inverted-list
+    storage by that factor but roughly squaring away the boundary-miss
+    probability — the standard IVF recall lever for near-uniform
+    embeddings, where a neighbor's best cell often isn't the query's
+    (measured on the synthetic fixture: trained centroids + corpus_probe=2
+    + nprobe=4 reaches recall@5 = 0.8 where single assignment gets 0.59)."""
+    c = ivf_assign(corpus, dim, n_cells, corpus_probe, id_col, vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"), "cell",
     )

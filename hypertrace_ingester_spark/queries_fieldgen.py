@@ -550,27 +550,43 @@ def p_tag_normalize(spark, sf_dir):
     f"""
     WITH e AS ({_E_SQL})
     SELECT event_id,
-      CASE m % 8 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' WHEN 2 THEN 'Firefox'
-                 WHEN 3 THEN 'Edge' WHEN 4 THEN 'curl' WHEN 5 THEN 'Googlebot'
-                 WHEN 6 THEN 'python-requests' END AS ua_family,
-      CASE m % 8 WHEN 0 THEN 'browser' WHEN 1 THEN 'browser' WHEN 2 THEN 'browser'
-                 WHEN 3 THEN 'browser' WHEN 4 THEN 'tool' WHEN 5 THEN 'bot'
-                 WHEN 6 THEN 'tool' END AS ua_type,
-      CASE m % 8 WHEN 0 THEN CAST(100 + m % 20 AS VARCHAR) || '.0'
-                 WHEN 1 THEN CAST(14 + m % 3 AS VARCHAR) || '.1'
-                 WHEN 2 THEN CAST(90 + m % 10 AS VARCHAR) || '.0'
-                 WHEN 3 THEN CAST(99 + m % 5 AS VARCHAR) || '.0'
-                 WHEN 4 THEN CAST(7 + m % 2 AS VARCHAR) || '.68.0'
-                 WHEN 5 THEN '2.1'
-                 WHEN 6 THEN '2.' || CAST(m % 30 AS VARCHAR) END AS ua_version,
-      CASE m % 8 WHEN 0 THEN 'Windows' WHEN 1 THEN 'macOS' WHEN 2 THEN 'Linux'
-                 WHEN 3 THEN 'iOS' END AS ua_os
+      CASE WHEN m % 8 = 0 THEN (CASE WHEN m % 3 = 0 THEN 'Chrome Mobile' ELSE 'Chrome' END)
+           WHEN m % 8 = 1 THEN (CASE WHEN m % 3 = 1 THEN 'Mobile Safari' ELSE 'Safari' END)
+           WHEN m % 8 = 2 THEN 'Firefox'
+           WHEN m % 8 = 3 THEN 'Edge'
+           WHEN m % 8 = 4 THEN 'curl'
+           WHEN m % 8 = 5 THEN (CASE WHEN m % 3 = 0 THEN 'bingbot' ELSE 'Googlebot' END)
+           WHEN m % 8 = 6 THEN 'python-requests'
+           WHEN m % 3 = 2 THEN 'Spider' END AS ua_family,
+      CASE WHEN m % 8 IN (0, 1, 2, 3) THEN 'browser'
+           WHEN m % 8 IN (4, 6) THEN 'tool'
+           WHEN m % 8 = 5 OR m % 3 = 2 THEN 'bot' END AS ua_type,
+      CASE WHEN m % 8 = 0 THEN CAST(100 + m % 20 AS VARCHAR) || '.0'
+           WHEN m % 8 = 1 THEN CAST(14 + m % 3 AS VARCHAR) || '.1'
+           WHEN m % 8 = 2 THEN CAST(90 + m % 10 AS VARCHAR) || '.0'
+           WHEN m % 8 = 3 THEN CAST(99 + m % 5 AS VARCHAR) || '.0'
+           WHEN m % 8 = 4 THEN CAST(7 + m % 2 AS VARCHAR) || '.68.0'
+           WHEN m % 8 = 5 THEN (CASE WHEN m % 3 = 0 THEN '2.0' ELSE '2.1' END)
+           WHEN m % 8 = 6 THEN '2.' || CAST(m % 30 AS VARCHAR) END AS ua_version,
+      CASE WHEN m % 8 = 0 THEN (CASE WHEN m % 3 = 0 THEN 'Android' ELSE 'Windows' END)
+           WHEN m % 8 = 1 THEN (CASE WHEN m % 3 = 1 THEN 'iOS' ELSE 'macOS' END)
+           WHEN m % 8 = 2 THEN 'Linux'
+           WHEN m % 8 = 3 THEN 'iOS' END AS ua_os,
+      CASE WHEN m % 8 = 5 OR (m % 8 = 7 AND m % 3 = 2) THEN 'Spider'
+           WHEN m % 8 = 0 THEN (CASE WHEN m % 3 = 0 THEN 'Generic Smartphone' ELSE 'Other' END)
+           WHEN m % 8 = 1 THEN (CASE WHEN m % 3 = 1 THEN 'iPhone' ELSE 'Mac' END)
+           WHEN m % 8 = 3 THEN 'iPhone'
+           WHEN m % 8 IN (2, 4, 6) THEN 'Other' END AS ua_device
     FROM e
     """,
-    doc="E10 — user-agent parsing (UserAgentSpanEnricher.java:27-68): "
-        "vectorized regex rule table (first-match precedence, uap-core "
-        "shape) over deterministically composed UA strings; oracle "
-        "restates family/type/version/os from the composition arithmetic.",
+    doc="E10 — user-agent parsing (UserAgentSpanEnricher.java:27-68, "
+        "uap-core shape): vectorized regex rule table with first-match "
+        "precedence covering mobile browser variants (Chrome Mobile, "
+        "Mobile Safari), named bots (Googlebot, bingbot) plus the generic "
+        "bot/crawler/spider fallback, and UAP device families (Spider, "
+        "iPhone, Generic Smartphone, Mac, Other) over deterministically "
+        "composed UA strings; the oracle restates "
+        "family/type/version/os/device from the composition arithmetic.",
 )
 def p_user_agent(spark, sf_dir):
     from .functions import ua as ua_mod
@@ -578,8 +594,18 @@ def p_user_agent(spark, sf_dir):
     e = _events_m(spark, sf_dir)
     m = F.col("m")
     ua = (
-        F.when(m % 8 == 0, F.concat(F.lit("Mozilla/5.0 (Windows NT 10.0) Chrome/"),
-                                    _s(100 + m % 20), F.lit(".0")))
+        F.when(
+            (m % 8 == 0) & (m % 3 == 0),
+            F.concat(F.lit("Mozilla/5.0 (Linux; Android 11; Pixel 5) Chrome/"),
+                     _s(100 + m % 20), F.lit(".0 Mobile Safari/537.36")),
+        )
+        .when(m % 8 == 0, F.concat(F.lit("Mozilla/5.0 (Windows NT 10.0) Chrome/"),
+                                   _s(100 + m % 20), F.lit(".0")))
+        .when(
+            (m % 8 == 1) & (m % 3 == 1),
+            F.concat(F.lit("Mozilla/5.0 (iPhone; CPU iPhone OS 14_6 like Mac OS X) Version/"),
+                     _s(14 + m % 3), F.lit(".1 Mobile/15E148 Safari/604.1")),
+        )
         .when(m % 8 == 1, F.concat(F.lit("Mozilla/5.0 (Macintosh; Mac OS X 10_15) Version/"),
                                    _s(14 + m % 3), F.lit(".1 Safari/605")))
         .when(m % 8 == 2, F.concat(F.lit("Mozilla/5.0 (X11; Linux x86_64) Firefox/"),
@@ -587,13 +613,18 @@ def p_user_agent(spark, sf_dir):
         .when(m % 8 == 3, F.concat(F.lit("Mozilla/5.0 (iPhone) Edg/"),
                                    _s(99 + m % 5), F.lit(".0")))
         .when(m % 8 == 4, F.concat(F.lit("curl/"), _s(7 + m % 2), F.lit(".68.0")))
+        .when((m % 8 == 5) & (m % 3 == 0),
+              F.lit("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)"))
         .when(m % 8 == 5, F.lit("Googlebot/2.1"))
         .when(m % 8 == 6, F.concat(F.lit("python-requests/2."), _s(m % 30)))
+        .when(m % 3 == 2, F.lit("WeirdCrawler v1"))
         .otherwise(F.lit("weird-agent"))
     )
     df = e.select("event_id", ua.alias("user_agent"))
     out = ua_mod.parse_user_agents(df)
-    return out.select("event_id", "ua_family", "ua_type", "ua_version", "ua_os")
+    return out.select(
+        "event_id", "ua_family", "ua_type", "ua_version", "ua_os", "ua_device"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,38 @@ def test_parse_user_agents(spark):
     assert out[5]["ua_family"] is None
 
 
+def test_parse_user_agents_mobile_and_bots(spark):
+    """E10 device/bot fidelity (UserAgentSpanEnricherTest shape): mobile
+    browser variants outrank desktop families, named bots and the generic
+    spider bucket classify with UAP device families."""
+    df = spark.createDataFrame(
+        [
+            (1, "Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 "
+                "Chrome/116.0.0.0 Mobile Safari/537.36"),
+            (2, "Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) "
+                "AppleWebKit/605.1.15 Version/16.6 Mobile/15E148 Safari/604.1"),
+            (3, "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 "
+                "Version/16.6 Mobile/15E148 Safari/604.1"),
+            (4, "Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)"),
+            (5, "SomethingNew-Crawler (contact@example.com)"),
+            (6, "Mozilla/5.0 (Linux; Android 13) SamsungBrowser/21.0 Chrome/110.0 Safari"),
+        ],
+        "id int, user_agent string",
+    )
+    out = {r["id"]: r for r in parse_user_agents(df).collect()}
+    assert (out[1]["ua_family"], out[1]["ua_os"], out[1]["ua_device"]) == (
+        "Chrome Mobile", "Android", "Generic Smartphone")
+    assert (out[2]["ua_family"], out[2]["ua_os"], out[2]["ua_device"]) == (
+        "Mobile Safari", "iOS", "iPhone")
+    assert out[3]["ua_device"] == "iPad"
+    assert (out[4]["ua_family"], out[4]["ua_type"], out[4]["ua_device"]) == (
+        "bingbot", "bot", "Spider")
+    assert (out[5]["ua_family"], out[5]["ua_type"], out[5]["ua_device"]) == (
+        "Spider", "bot", "Spider")
+    assert out[5]["ua_version"] is None
+    assert out[6]["ua_family"] == "Samsung Internet"  # outranks Chrome
+
+
 def test_create_sink_tables(spark, sequences, tmp_path):
     from hypertrace_ingester_spark.plans.pipeline import PipelineConfig, run_pipeline
 
