@@ -76,9 +76,15 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     nested higher-order functions and generated codegen past the JIT
     method limit (measured 10.6 s → interpreted path at sf0.1); the
     explode+agg form stays inside whole-stage codegen and the shuffle
-    carries only (doc_id, 64 longs) after map-side combine. Docs with no
-    shingles (< k words) drop out here; they can never pass the exact
-    Jaccard filter anyway (0/0 union)."""
+    carries only (doc_id, 64 longs) after map-side combine.
+
+    CONTRACT (changed in round 2, kept deliberately): returns ONLY
+    (id_col, minhash) and drops docs with fewer than k words — they have
+    no shingles, so they can never pass the exact Jaccard filter anyway
+    (0/0 union). Callers needing other columns should join back on
+    id_col; carrying wide columns through the signature aggregate would
+    put them in the shuffle, which is exactly what this operator exists
+    to avoid at 100 TB."""
     ex = docs.select(id_col, F.explode(shingles(text_col)).alias("s"))
     mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
     return (

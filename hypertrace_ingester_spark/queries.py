@@ -769,7 +769,9 @@ _STOPS_SQL = {
         "metrics are computed fused, never as five passes.",
 )
 def d_text_profile(spark, sf_dir):
-    df = txt.text_profile(load_table(spark, sf_dir, "documents"))
+    from .sources import widen
+
+    df = txt.text_profile(widen(load_table(spark, sf_dir, "documents")))
     return df.select(
         "doc_id",
         "lang",

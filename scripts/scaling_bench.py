@@ -12,8 +12,17 @@ untimed warmup run, then ``--reps`` measured runs; median + min reported,
 plus a RESULT_JSON line. BENCH/BASELINE.md holds the curated results and
 the scaling analysis (hardware ceilings measured via microbenchmarks).
 
+CPU pinning (round-3 methodology fix): each level is pinned with
+``taskset`` to exactly its core budget (N cores for threads mode, N×8 for
+executors mode). Without pinning, the "8-core" level borrows all 32
+physical cores' cache and turbo headroom (8 worker threads migrate
+freely), understating the small level's true cost and adding 2.3×
+run-to-run spread in executors mode from scheduler migration; pinned, the
+levels measure what N-core hardware actually does, and the JVM sizes its
+GC/compiler pools from the affinity mask. Disable with --no-pin.
+
 Usage: python scripts/scaling_bench.py [--rows 4000000] [--reps 3]
-       [--levels 8 32] [--mode threads|executors]
+       [--levels 8 32] [--mode threads|executors] [--no-pin]
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ import json
 import os
 import statistics
 import subprocess
+from shutil import which as shutil_which
 import sys
 import tempfile
 
@@ -62,10 +72,14 @@ print("RESULT " + json.dumps({{"n": n, "times": times,
 """
 
 
-def run_level(mode: str, n: int, input_dir: str, reps: int) -> dict:
+def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True) -> dict:
     script = WORKER.format(repo=REPO)
+    cores = n * 8 if mode == "executors" else n
+    cmd = [sys.executable, "-c", script, mode, str(n), input_dir, str(reps), SCRATCH]
+    if pin and shutil_which("taskset") and cores <= os.cpu_count():
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, mode, str(n), input_dir, str(reps), SCRATCH],
+        cmd,
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -84,6 +98,8 @@ def main() -> None:
                          "(levels are executor counts, e.g. 1 4)")
     ap.add_argument("--no-report", action="store_true",
                     help="print results only; don't write BENCH/BASELINE.md")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="skip taskset CPU pinning (measure the unpinned legacy way)")
     args = ap.parse_args()
 
     input_dir = os.path.join(SCRATCH, f"bench_seq_{args.rows}.parquet")
@@ -100,7 +116,7 @@ def main() -> None:
 
     results = {}
     for n in args.levels:
-        r = run_level(args.mode, n, input_dir, args.reps)
+        r = run_level(args.mode, n, input_dir, args.reps, pin=not args.no_pin)
         r["median_sec"] = statistics.median(r["times"])
         r["min_sec"] = min(r["times"])
         r["throughput"] = args.rows / r["median_sec"]
@@ -113,6 +129,7 @@ def main() -> None:
     efficiency = speedup / (n4 / n)
     print(f"speedup {speedup:.2f}x over {n4//n}x {args.mode} -> scaling efficiency {efficiency:.2f}")
     print("RESULT_JSON " + json.dumps({"mode": args.mode, "rows": args.rows,
+                                       "pinned": not args.no_pin,
                                        "levels": args.levels,
                                        "results": {str(k): v for k, v in results.items()},
                                        "speedup": speedup, "efficiency": efficiency}))
