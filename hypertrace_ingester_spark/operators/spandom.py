@@ -70,7 +70,12 @@ def spans(spark, sf_dir: str, shared: bool = True) -> DataFrame:
 
     ``shared=True`` (default) returns a per-session localCheckpointed frame
     reused by every span-domain query; pass ``shared=False`` for a fresh
-    lineage (plan-inspection tests)."""
+    lineage (plan-inspection tests). The relational build is the default:
+    measured against the one-shuffle Arrow alternative
+    (``_spans_build_arrow``, bit-identical output), the JVM window+join
+    chain wins (2.5 s vs 4.2 s warm at sf0.1) — Arrow-transferring the
+    26-column frame to Python costs more than the micro-stages it saves,
+    and at real scale whole-stage codegen widens that gap."""
     if shared:
         key = (spark.sparkContext.applicationId, sf_dir)
         hit = _SPANS_CACHE.get(key)
@@ -80,6 +85,117 @@ def spans(spark, sf_dir: str, shared: bool = True) -> DataFrame:
         _SPANS_CACHE[key] = df
         return df
     return _spans_build(spark, sf_dir)
+
+
+_SPANS_SCHEMA = (
+    "tenant_id bigint, trace_id bigint, span_id bigint, ts_ms bigint, kv bigint, "
+    "rn int, kind string, service string, api_name string, op_name string, "
+    "start_ms bigint, end_ms bigint, duration_ms bigint, error_count int, "
+    "exception_count int, status_code int, backend_name string, backend_path string, "
+    "parent_kind string, parent_service string, parent_span_id bigint, "
+    "has_parent_ref boolean, is_root boolean, is_leaf boolean, "
+    "is_entry_api boolean, is_exit_api boolean"
+)
+
+
+def _spans_build_arrow(spark, sf_dir: str) -> DataFrame:
+    """ONE-shuffle spans derivation: per-row columns stay JVM-side
+    projections; the trace-local parts (row_number, binary-heap parent
+    link, child aggregate, boundary flags) run as numpy inside one
+    ``applyInPandas`` per trace — a single hash exchange on the trace key
+    instead of the relational window + parent self-join + child-agg chain.
+
+    MEASURED and NOT the default: at sf0.1 this runs 4.2 s vs the
+    relational build's 2.5 s warm — the Arrow transfer of the full
+    26-column frame (strings included) into Python workers costs more
+    than the ~30 AQE micro-stages it eliminates, and the relational
+    chain's shuffles all stay in the trace-key family anyway. Kept as an
+    independent re-derivation of the spans semantics: bit-identical
+    output is asserted in tests/test_trace_graph.py, which double-checks
+    the relational build against straight-line numpy logic."""
+    import numpy as np
+    import pandas as pd
+
+    e = (
+        widen(load_table(spark, sf_dir, "events"))
+        .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+        .withColumn("kv", F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0)))
+    )
+    base = e.select(
+        (F.col("user_id") % 5).alias("tenant_id"),
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        "ts_ms",
+        "kv",
+        _case_kind().alias("kind"),
+        F.concat(F.lit("svc_"), (F.col("kv") % 4).cast("string")).alias("service"),
+        F.concat(F.lit("api_"), (F.col("kv") % 7).cast("string")).alias("api_name"),
+        F.concat(F.lit("op_"), (F.col("kv") % 7).cast("string")).alias("op_name"),
+        F.col("ts_ms").alias("start_ms"),
+        (F.col("ts_ms") + F.col("kv") % 1000).alias("end_ms"),
+        (F.col("kv") % 1000).alias("duration_ms"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("error_count"),
+        F.when(F.col("kv") % 13 == 0, 1).otherwise(0).alias("exception_count"),
+        F.when(F.col("kv") % 10 < 7, 200)
+        .when(F.col("kv") % 10 < 9, 404)
+        .otherwise(500)
+        .alias("status_code"),
+        F.when(
+            (_case_kind() == "EXIT") & (F.col("kv") % 2 == 0),
+            F.concat(F.lit("be_"), (F.col("kv") % 3).cast("string")),
+        ).alias("backend_name"),
+        F.when(
+            (_case_kind() == "EXIT") & (F.col("kv") % 4 == 0),
+            F.concat(F.lit("/bp"), (F.col("kv") % 5).cast("string")),
+        ).alias("backend_path"),
+    )
+
+    def per_trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["span_id"].to_numpy(), pdf["ts_ms"].to_numpy()))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        n = len(pdf)
+        rn = np.arange(1, n + 1)
+        span_id = pdf["span_id"].to_numpy()
+        kv = pdf["kv"].to_numpy()
+        kind = pdf["kind"].to_numpy()
+        service = pdf["service"].to_numpy()
+
+        parent_idx = np.maximum(rn // 2 - 1, 0)  # valid only where rn > 1
+        broken = kv % 11 == 0
+        root = rn == 1
+        linked = ~root & ~broken  # rows with a REAL resolved parent
+
+        parent_span = pd.array(span_id[parent_idx], dtype="Int64")
+        parent_span[root] = pd.NA
+        parent_span[~root & broken] = -1
+        parent_kind = np.where(linked, kind[parent_idx], None)
+        parent_service = np.where(linked, service[parent_idx], None)
+
+        # child aggregate: children attach via their resolved parent ROW
+        n_children = np.zeros(n, dtype=np.int64)
+        np.add.at(n_children, parent_idx[linked], 1)
+        entry_children = np.zeros(n, dtype=np.int64)
+        np.add.at(entry_children, parent_idx[linked & (kind == "ENTRY")], 1)
+
+        pk_not_entry = np.array([k is not None and k != "ENTRY" for k in parent_kind])
+        ps_differs = np.array(
+            [s is not None and s != sv for s, sv in zip(parent_service, service)]
+        )
+        is_entry_api = (kind == "ENTRY") & (~linked | pk_not_entry | ps_differs)
+        is_exit_api = (kind == "EXIT") & ((n_children == 0) | (entry_children > 0))
+
+        pdf["rn"] = rn.astype(np.int32)
+        pdf["parent_kind"] = parent_kind
+        pdf["parent_service"] = parent_service
+        pdf["parent_span_id"] = parent_span
+        pdf["has_parent_ref"] = rn > 1
+        pdf["is_root"] = root | broken
+        pdf["is_leaf"] = n_children == 0
+        pdf["is_entry_api"] = is_entry_api
+        pdf["is_exit_api"] = is_exit_api
+        return pdf[[f.split(" ")[0] for f in _SPANS_SCHEMA.split(", ")]]
+
+    return base.groupBy("trace_id").applyInPandas(per_trace, schema=_SPANS_SCHEMA)
 
 
 def _spans_build(spark, sf_dir: str) -> DataFrame:

@@ -190,3 +190,24 @@ def test_nodeless_spans(spark):
     # no BACKEND service-call row for it either
     sc = tg.service_call_edges(spans).toPandas()
     assert 6 not in set(sc["client_span_id"].dropna())
+
+
+def test_spans_build_arrow_equals_relational(spark):
+    """The one-shuffle applyInPandas derivation and the relational
+    window+join chain produce bit-identical span frames — each
+    independently re-derives the parent links and boundary flags, so a
+    bug in either formulation breaks this (on top of the DuckDB oracle)."""
+    import pandas as pd
+
+    from hypertrace_ingester_spark.operators import spandom
+
+    sf = "/root/testdata/sf0.001"
+    key = ["trace_id", "span_id"]
+    a = spandom._spans_build(spark, sf).toPandas()
+    b = spandom._spans_build_arrow(spark, sf).toPandas()
+    assert sorted(a.columns) == sorted(b.columns)
+    a = a.sort_values(key).reset_index(drop=True)[sorted(a.columns)]
+    b = b.sort_values(key).reset_index(drop=True)[sorted(b.columns)]
+    for c in a.columns:
+        eq = (a[c].isna() & b[c].isna()) | (a[c] == b[c])
+        assert eq.all(), f"column {c} differs"
