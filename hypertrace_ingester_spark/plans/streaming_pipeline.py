@@ -49,6 +49,33 @@ def _batch_stages(batch_df: DataFrame, cfg: PipelineConfig,
     return route_ops.route(enrich_ops.enrich_with_bypass(alive, ctx), route_rules)
 
 
+def process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    cfg: PipelineConfig,
+    ctx: enrich_ops.EnrichContext,
+    route_rules: DataFrame,
+) -> None:
+    """One micro-batch: routed rows APPEND (at-least-once, the reference's
+    Kafka Streams ALOS default); per-batch metrics OVERWRITE their own
+    ``batch_id=<id>`` partition directory, so a foreachBatch retry
+    re-writes the same partition instead of double-appending partials
+    (round-2 ADVICE: downstream sums over metrics stay idempotent under
+    micro-batch retries — asserted in tests/test_streaming.py). Each
+    partition is a mergeable partial (sum downstream), the analog of the
+    reference's per-window gauge emissions; the batch pipeline's one-shot
+    metrics are the closed-input special case."""
+    from ..operators import aggregate as agg_ops
+
+    routed = _batch_stages(batch_df, cfg, ctx, route_rules)
+    route_ops.fan_out(
+        routed, os.path.join(cfg.out_dir, "routed"), cfg.salt_buckets, mode="append"
+    )
+    agg_ops.sink_metrics(routed, cfg.metric_window_ms).write.mode("overwrite").parquet(
+        os.path.join(cfg.out_dir, "metrics", f"batch_id={batch_id}")
+    )
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     stream: DataFrame,
@@ -70,26 +97,9 @@ def run_streaming_pipeline(
         status_codes=datagen.status_codes_dim(spark),
     )
     rules = route_rules if route_rules is not None else datagen.route_rules_dim(spark)
-    routed_dir = os.path.join(cfg.out_dir, "routed")
-
-    metrics_dir = os.path.join(cfg.out_dir, "metrics")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        routed = _batch_stages(batch_df, cfg, ctx, rules)
-        route_ops.fan_out(routed, routed_dir, cfg.salt_buckets, mode="append")
-        # AGGREGATE face: incremental per-batch windowed counts — each batch
-        # OVERWRITES its own batch_id=<id> partition directory, so a
-        # foreachBatch retry re-writes the same partition instead of
-        # double-appending partials (round-2 ADVICE: downstream sums stay
-        # idempotent under micro-batch retries). Each partition is a
-        # mergeable partial (sum downstream), the analog of the reference's
-        # per-window gauge emissions; the batch pipeline's one-shot metrics
-        # are the closed-input special case.
-        from ..operators import aggregate as agg_ops
-
-        agg_ops.sink_metrics(routed, cfg.metric_window_ms).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(metrics_dir, f"batch_id={batch_id}"))
+        process_batch(batch_df, batch_id, cfg, ctx, rules)
 
     writer = (
         stream.writeStream.foreachBatch(per_batch)

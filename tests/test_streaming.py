@@ -194,3 +194,36 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
         F.sum("num_rows").alias("n")
     ).collect()}
     assert sm == m["stages"]["route"]["sink_counts"]
+
+
+def test_metrics_idempotent_under_batch_retry(spark, tmp_path):
+    """foreachBatch retry semantics: re-processing the SAME batch_id must
+    not double-count metric partials (each batch overwrites its own
+    batch_id partition — round-2 ADVICE fix)."""
+    from hypertrace_ingester_spark import datagen
+    from hypertrace_ingester_spark.plans.pipeline import PipelineConfig
+    from hypertrace_ingester_spark.plans.streaming_pipeline import process_batch
+    from hypertrace_ingester_spark.operators import enrich as enrich_ops
+
+    out = str(tmp_path / "retry_out")
+    cfg = PipelineConfig(out_dir=out)
+    ctx = enrich_ops.EnrichContext(
+        endpoints=datagen.endpoints_dim(spark),
+        services=datagen.services_dim(spark),
+        status_codes=datagen.status_codes_dim(spark),
+    )
+    rules = datagen.route_rules_dim(spark)
+    batch = datagen.generate_sequences(spark, 500)
+    process_batch(batch, 7, cfg, ctx, rules)
+    once = {
+        r["sink"]: r["n"]
+        for r in spark.read.parquet(out + "/metrics")
+        .groupBy("sink").agg(F.sum("num_rows").alias("n")).collect()
+    }
+    process_batch(batch, 7, cfg, ctx, rules)  # simulated retry of batch 7
+    twice = {
+        r["sink"]: r["n"]
+        for r in spark.read.parquet(out + "/metrics")
+        .groupBy("sink").agg(F.sum("num_rows").alias("n")).collect()
+    }
+    assert twice == once  # metrics idempotent (routed rows stay ALOS append)
