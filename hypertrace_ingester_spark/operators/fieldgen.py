@@ -29,10 +29,12 @@ predicates mirror:
   (otel span_kind → OC span.kind → Client flag → envoy operationname →
   Sent./Recv. name prefix), :181-276 (grpc-by-prefix scan, http scheme).
 
-Simplifications (documented, not silent): the OTel client/server-span
-net.peer URL reconstruction (HttpSemanticConventionUtils.java:302-308) and
-the JDBC connection-string walk of DbSemanticConventionUtils are not
-reproduced — the scheme/host/target composition branch is.
+Round 3 closed the two previously-documented simplifications: the OTel
+client/server-span net.peer URL reconstruction
+(HttpSemanticConventionUtils.java:287-318, getHttpUrlForOTelFormat's full
+branch ladder) and the db-semantic destination URI with the JDBC
+connection-string walk (DbSemanticConventionUtils.getSqlURI:212-231) are
+both implemented and oracle-gated via p_http_fields / p_sql_fields.
 """
 
 from __future__ import annotations
@@ -150,11 +152,46 @@ def http_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "http_") ->
     scheme_tag = F.element_at(t, "http.scheme")
     host_tag = F.element_at(t, "http.host")
     target_tag = F.element_at(t, "http.target")
-    # maybeSetHttpUrlForOtelFormat: compose scheme://host+target when no
-    # absolute url is present (HttpSemanticConventionUtils.java:287-301)
+    # getHttpUrlForOTelFormat (HttpSemanticConventionUtils.java:287-318):
+    # absolute http.url > scheme+host+target > CLIENT-span net.peer
+    # reconstruction > SERVER-span server_name/net.host reconstruction >
+    # relative http.url fallback. Client/server detection follows
+    # SpanSemanticConventionUtils.java:105-147 — the otel `span_kind` key,
+    # when PRESENT, decides alone (equalsIgnoreCase); only otherwise does
+    # the OC `span.kind` key get a vote.
+    otel_kind, oc_kind = F.element_at(t, "span_kind"), F.element_at(t, "span.kind")
+    eff_kind = F.lower(F.when(otel_kind.isNotNull(), otel_kind).otherwise(oc_kind))
+    peer_host = F.coalesce(  # net.peer.name > net.sock.peer.addr > net.peer.ip
+        F.element_at(t, "net.peer.name"),
+        F.element_at(t, "net.sock.peer.addr"),
+        F.element_at(t, "net.peer.ip"),
+    )
+    peer_port = F.element_at(t, "net.peer.port")
+    server_host = F.coalesce(  # http.server_name > net.host.name
+        F.element_at(t, "http.server_name"), F.element_at(t, "net.host.name")
+    )
+    host_port = F.element_at(t, "net.host.port")
+
+    def _built(h, port):  # buildUrl: scheme://host[:port]target
+        return F.concat(
+            scheme_tag,
+            F.lit("://"),
+            h,
+            F.when(port.isNotNull(), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            target_tag,
+        )
+
     composed = F.when(
         scheme_tag.isNotNull() & host_tag.isNotNull() & target_tag.isNotNull(),
         F.concat(scheme_tag, F.lit("://"), host_tag, target_tag),
+    ).when(
+        (eff_kind == "client")
+        & scheme_tag.isNotNull() & target_tag.isNotNull() & peer_host.isNotNull(),
+        _built(peer_host, peer_port),
+    ).when(
+        (eff_kind == "server")
+        & scheme_tag.isNotNull() & target_tag.isNotNull() & server_host.isNotNull(),
+        _built(server_host, host_port),
     )
     url_eff = F.when(url_raw.isNotNull() & _is_absolute(url_raw), url_raw).otherwise(
         F.coalesce(composed, url_raw)
@@ -328,8 +365,57 @@ def grpc_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "grpc_") ->
     )
 
 
+# db.system values the reference treats as SQL backends
+# (DbSemanticConventionUtils.java:81-92, OTelDbSemanticConventions)
+OTEL_SQL_DB_SYSTEMS = [
+    "mysql", "oracle", "mssql", "db2", "postgresql", "redshift",
+    "hive", "cloudscape", "hsqldb", "other_sql",
+]
+
+
+def sql_uri(tags: Column) -> Column:
+    """DbSemanticConventionUtils.getSqlURI (:212-231) over a tags map:
+    for spans whose ``db.system`` is a SQL system, the destination URI is
+    sql.url > a valid ``db.connection_string`` > the OTel net.peer URI
+    (net.peer.name > net.sock.peer.addr > net.peer.ip, with optional
+    :net.peer.port — SpanSemanticConventionUtils.java:37-55), prefixed
+    ``jdbc://`` when it carries no scheme. Validity approximates
+    java.net.URI: non-blank, no whitespace. (The eventName-prefix branch
+    of isSqlBackend needs the span name, not a tag — callers with an
+    op-name column OR it in separately.)"""
+    is_sql = F.element_at(tags, "db.system").isin(*OTEL_SQL_DB_SYSTEMS)
+    conn = F.element_at(tags, "db.connection_string")
+    conn_valid = conn.isNotNull() & (F.trim(conn) != "") & ~conn.contains(" ")
+    peer = F.coalesce(
+        F.element_at(tags, "net.peer.name"),
+        F.element_at(tags, "net.sock.peer.addr"),
+        F.element_at(tags, "net.peer.ip"),
+    )
+    port = F.element_at(tags, "net.peer.port")
+    otel_uri = F.when(
+        peer.isNotNull(),
+        F.concat(
+            peer,
+            F.when(port.isNotNull(), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        ),
+    )
+    jdbc_uri = F.when(
+        otel_uri.contains("://"), otel_uri
+    ).otherwise(F.concat(F.lit("jdbc://"), otel_uri))
+    return F.when(
+        is_sql,
+        F.coalesce(
+            F.element_at(tags, "sql.url"),
+            F.when(conn_valid, conn),
+            F.when(otel_uri.isNotNull(), jdbc_uri),
+        ),
+    )
+
+
 def sql_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "sql_") -> DataFrame:
-    """SQL field extraction (SqlFieldsGenerator.java:23-74)."""
+    """SQL field extraction (SqlFieldsGenerator.java:23-74), plus the
+    db-semantic destination URI (``sql_uri``) the backend enricher
+    resolves from connection strings / net.peer parts."""
     t = F.col(tags_col)
     p = prefix
     return df.select(
@@ -339,6 +425,7 @@ def sql_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "sql_") -> D
         F.element_at(t, "sql.url").alias(p + "url"),
         F.element_at(t, "sql.params").alias(p + "params"),
         F.element_at(t, "sql.sqlstate").alias(p + "sqlstate"),
+        sql_uri(t).alias(p + "uri"),
     )
 
 

@@ -79,24 +79,52 @@ def _s(c) -> F.Column:
                 || '.example.com:8443/x/'
            WHEN m % 5 = 4 AND m % 2 = 0 THEN 'https://oteh' || CAST(m % 6 AS VARCHAR)
                 || '.example.com/t' || CAST(m % 4 AS VARCHAR) || '?z=9'
+           WHEN m % 5 = 4 THEN
+             -- net.peer/net.host URL reconstruction (client/server spans)
+             CASE WHEN m % 3 = 0 THEN 'https://cn' || CAST(m % 6 AS VARCHAR)
+                       || (CASE WHEN m % 7 <> 0 THEN ':81' || CAST(m % 4 AS VARCHAR) ELSE '' END)
+                       || '/nt' || CAST(m % 4 AS VARCHAR) || '?w=5'
+                  WHEN m % 3 = 1 THEN 'https://sv' || CAST(m % 6 AS VARCHAR)
+                       || (CASE WHEN m % 11 <> 0 THEN ':90' || CAST(m % 4 AS VARCHAR) ELSE '' END)
+                       || '/nt' || CAST(m % 4 AS VARCHAR) || '?w=5'
+                  WHEN m % 17 <> 0 THEN 'https://'
+                       || (CASE WHEN m % 13 = 0 THEN 'sa' || CAST(m % 6 AS VARCHAR)
+                                ELSE '10.0.0.' || CAST(m % 6 AS VARCHAR) END)
+                       || (CASE WHEN m % 9 <> 0 THEN ':82' || CAST(m % 4 AS VARCHAR) ELSE '' END)
+                       || '/nt' || CAST(m % 4 AS VARCHAR) || '?w=5'
+             END
       END AS http_url,
       CASE WHEN m % 5 = 0 THEN 'http'
            WHEN m % 5 = 1 THEN 'https'
-           WHEN m % 5 = 4 AND m % 2 = 0 THEN 'https' END AS http_scheme,
+           WHEN m % 5 = 4 THEN 'https' END AS http_scheme,
       CASE WHEN m % 5 = 0 THEN 'host' || CAST(m % 20 AS VARCHAR) || '.example.com'
            WHEN m % 5 = 1 THEN 'sec' || CAST(m % 10 AS VARCHAR) || '.example.com:8443'
            WHEN m % 5 = 4 AND m % 2 = 0
-                THEN 'oteh' || CAST(m % 6 AS VARCHAR) || '.example.com' END AS http_host,
+                THEN 'oteh' || CAST(m % 6 AS VARCHAR) || '.example.com'
+           WHEN m % 5 = 4 THEN
+             CASE WHEN m % 3 = 0 THEN 'cn' || CAST(m % 6 AS VARCHAR)
+                       || (CASE WHEN m % 7 <> 0 THEN ':81' || CAST(m % 4 AS VARCHAR) ELSE '' END)
+                  WHEN m % 3 = 1 THEN 'sv' || CAST(m % 6 AS VARCHAR)
+                       || (CASE WHEN m % 11 <> 0 THEN ':90' || CAST(m % 4 AS VARCHAR) ELSE '' END)
+                  WHEN m % 17 <> 0 THEN
+                       (CASE WHEN m % 13 = 0 THEN 'sa' || CAST(m % 6 AS VARCHAR)
+                             ELSE '10.0.0.' || CAST(m % 6 AS VARCHAR) END)
+                       || (CASE WHEN m % 9 <> 0 THEN ':82' || CAST(m % 4 AS VARCHAR) ELSE '' END)
+             END
+      END AS http_host,
       CASE WHEN m % 4 = 0 THEN '/pp' || CAST(m % 8 AS VARCHAR)
            WHEN m % 5 = 0 THEN '/a/b' || CAST(m % 9 AS VARCHAR)
            WHEN m % 5 = 1 THEN '/x'
            WHEN m % 5 = 2 THEN '/relative/p' || CAST(m % 7 AS VARCHAR)
            WHEN m % 5 = 4 AND m % 2 = 0 THEN '/t' || CAST(m % 4 AS VARCHAR)
+           WHEN m % 5 = 4 AND NOT (m % 3 = 2 AND m % 17 = 0)
+                THEN '/nt' || CAST(m % 4 AS VARCHAR)
       END AS http_path,
       CASE WHEN m % 7 = 0 THEN 'qs=' || CAST(m % 11 AS VARCHAR)
            WHEN m % 5 = 0 THEN 'q=' || CAST(m % 9 AS VARCHAR)
            WHEN m % 5 = 2 THEN 'r=1'
            WHEN m % 5 = 4 AND m % 2 = 0 THEN 'z=9'
+           WHEN m % 5 = 4 AND NOT (m % 3 = 2 AND m % 17 = 0) THEN 'w=5'
       END AS http_query,
       CASE WHEN m % 6 < 5 THEN 'UA-' || CAST(m % 10 AS VARCHAR) END AS http_user_agent,
       CASE WHEN m % 5 < 4 THEN m % 900 + 10
@@ -116,7 +144,13 @@ def _s(c) -> F.Column:
         "sets path/query but not url/scheme/host), OTel scheme+host+target "
         "composition, trailing-slash path normalization, 4-alias size "
         "chain with body-length fallback gated on the truncated flag, "
-        "header/param/cookie prefix explosion with declared keys excluded.",
+        "header/param/cookie prefix explosion with declared keys excluded; "
+        "round 3 adds getHttpUrlForOTelFormat's full client/server ladder "
+        "(HttpSemanticConventionUtils.java:287-318): CLIENT spans rebuild "
+        "the URL from net.peer.name > net.sock.peer.addr > net.peer.ip "
+        "(+optional net.peer.port), SERVER spans from http.server_name > "
+        "net.host.name (+net.host.port), with the otel span_kind key "
+        "vetoing the OC span.kind when both are present.",
 )
 def p_http_fields(spark, sf_dir):
     e = _events_m(spark, sf_dir)
@@ -147,7 +181,7 @@ def p_http_fields(spark, sf_dir):
                 "url": F.when(m % 5 == 0, F.lit("http://decoy")).when(
                     m % 5 == 2, F.concat(F.lit("/relative/p"), _s(m % 7), F.lit("?r=1"))
                 ),
-                "http.scheme": F.when((m % 5 == 4) & (m % 2 == 0), F.lit("https")),
+                "http.scheme": F.when(m % 5 == 4, F.lit("https")),
                 "http.host": F.when(
                     (m % 5 == 4) & (m % 2 == 0),
                     F.concat(F.lit("oteh"), _s(m % 6), F.lit(".example.com")),
@@ -155,6 +189,53 @@ def p_http_fields(spark, sf_dir):
                 "http.target": F.when(
                     (m % 5 == 4) & (m % 2 == 0),
                     F.concat(F.lit("/t"), _s(m % 4), F.lit("?z=9")),
+                ).when(
+                    m % 5 == 4,
+                    F.concat(F.lit("/nt"), _s(m % 4), F.lit("?w=5")),
+                ),
+                # client/server net.peer URL reconstruction inputs
+                # (odd m%5==4 rows; decoys prove every priority edge)
+                "span_kind": F.when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 0), F.lit("CLIENT")
+                ).when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 2) & (m % 17 == 0),
+                    F.lit("INTERNAL"),  # otel key present -> vetoes OC client
+                ),
+                "span.kind": F.when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 1), F.lit("server")
+                ).when((m % 5 == 4) & (m % 2 == 1) & (m % 3 == 2), F.lit("client")),
+                "net.peer.name": F.when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 0),
+                    F.concat(F.lit("cn"), _s(m % 6)),
+                ),
+                "net.peer.ip": F.when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 0), F.lit("9.9.9.9")
+                ).when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 2),
+                    F.concat(F.lit("10.0.0."), _s(m % 6)),
+                ),
+                "net.sock.peer.addr": F.when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 2) & (m % 13 == 0),
+                    F.concat(F.lit("sa"), _s(m % 6)),
+                ),
+                "net.peer.port": F.when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 0) & (m % 7 != 0),
+                    F.concat(F.lit("81"), _s(m % 4)),
+                ).when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 2) & (m % 9 != 0),
+                    F.concat(F.lit("82"), _s(m % 4)),
+                ),
+                "http.server_name": F.when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 1),
+                    F.concat(F.lit("sv"), _s(m % 6)),
+                ),
+                "net.host.name": F.when(  # decoy: server_name outranks it
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 1),
+                    F.concat(F.lit("nh"), _s(m % 6)),
+                ),
+                "net.host.port": F.when(
+                    (m % 5 == 4) & (m % 2 == 1) & (m % 3 == 1) & (m % 11 != 0),
+                    F.concat(F.lit("90"), _s(m % 4)),
                 ),
                 "http.request.path": F.when(
                     m % 4 == 0, F.concat(F.lit("/pp"), _s(m % 8), F.lit("/"))
@@ -333,11 +414,26 @@ def p_grpc_fields(spark, sf_dir):
       CASE WHEN m % 3 = 0 THEN 'SELECT ' || CAST(m % 10 AS VARCHAR)
            WHEN m % 3 = 1 THEN 'INSERT ' || CAST(m % 10 AS VARCHAR) END AS sql_query,
       CASE WHEN m % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS sql_db_type,
-      CASE WHEN m % 4 = 0
+      CASE WHEN m % 4 = 0 OR (m % 4 = 1 AND m % 5 = 0)
            THEN 'jdbc:mysql://db' || CAST(m % 3 AS VARCHAR) || ':3306/shop'
       END AS sql_url,
       CASE WHEN m % 5 = 0 THEN '[' || CAST(m % 7 AS VARCHAR) || ']' END AS sql_params,
       CASE WHEN m % 6 = 0 THEN '4200' || CAST(m % 2 AS VARCHAR) END AS sql_sqlstate,
+      -- db-semantic destination URI (getSqlURI): only db.system-SQL rows
+      -- (m odd) qualify; sql.url > valid connection string > jdbc://net.peer
+      CASE WHEN m % 2 = 1 THEN
+        CASE WHEN m % 4 = 1 AND m % 5 = 0
+                  THEN 'jdbc:mysql://db' || CAST(m % 3 AS VARCHAR) || ':3306/shop'
+             WHEN m % 4 = 1
+                  THEN 'postgresql://pg' || CAST(m % 3 AS VARCHAR) || ':5432/shop'
+             WHEN m % 4 = 3 AND m % 3 = 0
+                  THEN 'jdbc://dbh' || CAST(m % 6 AS VARCHAR)
+                       || (CASE WHEN m % 7 <> 0 THEN ':54' || CAST(m % 6 AS VARCHAR) ELSE '' END)
+             WHEN m % 4 = 3
+                  THEN 'jdbc://10.1.1.' || CAST(m % 6 AS VARCHAR)
+                       || (CASE WHEN m % 7 <> 0 THEN ':54' || CAST(m % 6 AS VARCHAR) ELSE '' END)
+        END
+      END AS sql_uri,
       -- P13 dispatcher columns (separate tag frame with its own arithmetic)
       CASE WHEN m % 2 = 0 THEN 'GET' END AS disp_http_method,
       m % 17 AS disp_grpc_status_code,
@@ -349,7 +445,10 @@ def p_grpc_fields(spark, sf_dir):
     """,
     doc="P12+P13 SQL extraction (SqlFieldsGenerator.java:23-74): sql.query/"
         "db.statement priority with decoy, sql.db_type/db.system, url, "
-        "params, sqlstate; plus the P13 dispatcher (FieldsGenerator.java:"
+        "params, sqlstate; round 3 adds the db-semantic destination URI "
+        "(DbSemanticConventionUtils.getSqlURI:212-231): db.system-gated "
+        "sql.url > valid db.connection_string (invalid ones skipped) > "
+        "jdbc://-prefixed net.peer host:port reconstruction; plus the P13 dispatcher (FieldsGenerator.java:"
         "69-105) over a second tag frame: one pass routes every tag to its "
         "protocol generator, keys claimed by no exact generator key or "
         "prefix family land in the residual attribute bag (claimed prefix "
@@ -387,16 +486,33 @@ def p_sql_fields(spark, sf_dir):
                 "sql.db_type": F.when(m % 2 == 0, F.lit("mysql")),
                 "db.system": F.when(m % 2 == 1, F.lit("postgresql")),
                 "sql.url": F.when(
-                    m % 4 == 0, F.concat(F.lit("jdbc:mysql://db"), _s(m % 3), F.lit(":3306/shop"))
+                    (m % 4 == 0) | ((m % 4 == 1) & (m % 5 == 0)),
+                    F.concat(F.lit("jdbc:mysql://db"), _s(m % 3), F.lit(":3306/shop")),
                 ),
                 "sql.params": F.when(m % 5 == 0, F.concat(F.lit("["), _s(m % 7), F.lit("]"))),
                 "sql.sqlstate": F.when(m % 6 == 0, F.concat(F.lit("4200"), _s(m % 2))),
+                # db-semantic URI inputs: valid + invalid connection strings
+                # and net.peer parts for the jdbc:// reconstruction
+                "db.connection_string": F.when(
+                    m % 4 == 1,
+                    F.concat(F.lit("postgresql://pg"), _s(m % 3), F.lit(":5432/shop")),
+                ).when((m % 4 == 3) & (m % 3 == 0), F.lit("bad uri")),
+                "net.peer.name": F.when(
+                    (m % 4 == 3) & (m % 3 == 0), F.concat(F.lit("dbh"), _s(m % 6))
+                ),
+                "net.peer.ip": F.when(
+                    (m % 4 == 3) & (m % 3 != 0), F.concat(F.lit("10.1.1."), _s(m % 6))
+                ),
+                "net.peer.port": F.when(
+                    (m % 4 == 3) & (m % 7 != 0), F.concat(F.lit("54"), _s(m % 6))
+                ),
             }
         ),
     )
     out = fg.sql_fields(df, "tags")
     return out.select(
         "event_id", "sql_query", "sql_db_type", "sql_url", "sql_params", "sql_sqlstate",
+        "sql_uri",
         "disp_http_method", "disp_grpc_status_code", "disp_sql_query", "residual_kv",
     )
 
