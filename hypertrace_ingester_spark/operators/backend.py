@@ -24,7 +24,11 @@ Reference semantics (hypertrace-trace-enricher/.../enrichers/backend/):
 - **Equal-FQN service rejection** — HTTP/HTTPS/GRPC candidates whose host
   equals a service name present in the same trace are NOT backends
   (AbstractBackendEntityEnricher.java:133-171). Other types are always
-  valid. (The peer-service existence probe of :164-170 is not reproduced.)
+  valid. Round 3 adds the **peer-service existence probe** (:164-170):
+  the span's OpenTracing ``peer.service`` tag is checked against the same
+  service set — rejecting backends of partial traces whose immediate
+  child span is missing (service registry analog is trace-local;
+  documented divergence from the entity-service cache).
 - Identity: deterministic ``md5(type:uri)`` instead of the entity-service
   upsert (SURVEY §2.4 E8 mapping).
 
@@ -122,10 +126,18 @@ def resolve_backends(spans: DataFrame, tags_col: str = "tags") -> DataFrame:
     resolved = cand.select(
         "tenant_id", "trace_id", "span_id", "service",
         btype.alias("backend_type"), uri.alias("backend_uri"),
+        # peer-service probe input (SpanSemanticConventionUtils.java:149-154:
+        # the OpenTracing `peer.service` tag)
+        _tag(t, "peer.service").alias("peer_service_name"),
     ).filter(F.col("backend_type").isNotNull() & F.col("backend_uri").isNotNull())
 
     # FQN rejection: HTTP/HTTPS/GRPC whose host matches a same-trace service
-    # (trace ids are only unique per tenant — key the dim on both)
+    # (trace ids are only unique per tenant — key the dim on both); the
+    # peer-service probe (AbstractBackendEntityEnricher.java:164-170) is the
+    # same existence check on the span's peer.service tag — it catches
+    # partial traces where the immediate child span is missing but the peer
+    # is a known service. The service registry analog here is trace-local
+    # (documented divergence: the reference probes the entity-service cache).
     services = spans.select(
         F.col("tenant_id").alias("s_tenant_id"),
         F.col("trace_id").alias("s_trace_id"),
@@ -139,8 +151,21 @@ def resolve_backends(spans: DataFrame, tags_col: str = "tags") -> DataFrame:
         & (F.col("b_host") == F.col("s_service")),
         "left",
     )
+    peers = services.select(
+        F.col("s_tenant_id").alias("p_tenant_id"),
+        F.col("s_trace_id").alias("p_trace_id"),
+        F.col("s_service").alias("p_service"),
+    )
+    joined = joined.join(
+        peers,
+        (F.col("tenant_id") == F.col("p_tenant_id"))
+        & (F.col("trace_id") == F.col("p_trace_id"))
+        & (F.col("peer_service_name") == F.col("p_service")),
+        "left",
+    )
     kept = joined.filter(
-        ~F.col("backend_type").isin("HTTP", "HTTPS", "GRPC") | F.col("s_service").isNull()
+        ~F.col("backend_type").isin("HTTP", "HTTPS", "GRPC")
+        | (F.col("s_service").isNull() & F.col("p_service").isNull())
     )
     return kept.select(
         "tenant_id", "trace_id", "span_id", "service",

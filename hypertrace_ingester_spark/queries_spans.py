@@ -279,7 +279,7 @@ def v_raw_service_view(spark, sf_dir):
       SELECT *, kv AS m FROM flags WHERE kind = 'EXIT' AND is_leaf
     ),
     resolved AS (
-      SELECT tenant_id, trace_id, span_id, service,
+      SELECT tenant_id, trace_id, span_id, service, m,
         CASE WHEN m % 8 = 0 THEN 'HTTP' WHEN m % 8 = 1 THEN 'HTTPS'
              WHEN m % 8 = 2 THEN 'GRPC' WHEN m % 8 = 3 THEN 'REDIS'
              WHEN m % 8 = 4 THEN 'MONGO' WHEN m % 8 = 5 THEN 'JDBC'
@@ -315,6 +315,12 @@ def v_raw_service_view(spark, sf_dir):
         SELECT 1 FROM flags s
         WHERE s.trace_id = r.trace_id
           AND s.service = string_split(r.backend_uri, ':')[1]))
+      -- peer-service existence probe: the span's peer.service tag names a
+      -- same-trace service -> not a backend (partial-trace guard)
+      AND NOT (r.backend_type IN ('HTTP', 'HTTPS', 'GRPC') AND r.m % 9 = 0 AND EXISTS (
+        SELECT 1 FROM flags s2
+        WHERE s2.trace_id = r.trace_id
+          AND s2.service = 'svc_' || CAST(r.m % 3 AS VARCHAR)))
     """,
     doc="E8 backend provider chain (AbstractBackendEntityEnricher.java:"
         "96-197, backend/provider/*.java): leaf-exit candidates, 10-provider "
@@ -392,6 +398,13 @@ def e_backend_providers(spark, sf_dir):
                 F.when(m % 8 == 6, F.concat(F.lit("kb"), s(m % 3), F.lit(":9092"))),
                 F.lit("messaging.rabbitmq.routing_key"),
                 F.when((m % 8 == 7) & (m % 3 == 0), F.concat(F.lit("rk"), s(m % 4))),
+                # peer-service probe: HTTP/HTTPS/GRPC rows sometimes carry a
+                # peer.service naming a service that may exist in the trace
+                F.lit("peer.service"),
+                F.when(
+                    ((m % 8 == 0) | (m % 8 == 1) | (m % 8 == 2)) & (m % 9 == 0),
+                    F.concat(F.lit("svc_"), s(m % 3)),
+                ),
             ),
             lambda k, v: v.isNotNull(),
         ),
