@@ -175,6 +175,11 @@ def run_pipeline(
         manifest["stages"]["route"]["partition_lineage"] = _partition_lineage(routed_back)
     manifest["elapsed_sec"] = round(time.time() - t0, 3)
     _write_manifest(cfg.out_dir, manifest)
+    # S6 exporter: the same counters in Prometheus text exposition format
+    # (textfile-collector contract; see sources/prometheus.py)
+    from ..sources import prometheus as prom
+
+    prom.write_pipeline_metrics(cfg.out_dir, manifest)
     if cached_parse is not None:
         cached_parse.unpersist()
     return manifest

@@ -100,3 +100,16 @@ def test_empty_input(spark, sequences, tmp_path):
     manifest = run_pipeline(spark, sequences.limit(0), PipelineConfig(out_dir=out))
     assert manifest["total_routed_rows"] == 0
     assert manifest["stages"]["route"]["sink_counts"] == {}
+
+
+def test_prometheus_exposition(spark, run):
+    """S6 exporter: metrics.prom in Prometheus text exposition format,
+    values matching the manifest's sink counts."""
+    out, manifest = run
+    path = os.path.join(out, "metrics.prom")
+    assert os.path.exists(path)
+    text = open(path).read()
+    assert "# TYPE ingester_routed_rows_total counter" in text
+    for sink, n in manifest["stages"]["route"]["sink_counts"].items():
+        assert f'ingester_routed_rows_total{{sink="{sink}"}} {n}' in text
+    assert "ingester_run_seconds" in text
