@@ -224,15 +224,27 @@ class _TraceState:
 
     def api_entry_ancestor(self, sid):
         """EnrichedSpanUtils.getApiEntrySpan: self if entry boundary, else
-        nearest ancestor entry boundary, else None."""
-        if self.is_entry_api[sid]:
-            return sid
-        cur = self.parent.get(sid)
+        nearest ancestor entry boundary, else None. Memoized: the whole
+        ancestor chain resolves in one pass, so a full-trace sweep is
+        O(spans), not O(spans × depth)."""
+        memo = getattr(self, "_entry_anc", None)
+        if memo is None:
+            memo = self._entry_anc = {}
+        path = []
+        cur = sid
+        found = None
         while cur is not None:
+            if cur in memo:
+                found = memo[cur]
+                break
             if self.is_entry_api[cur]:
-                return cur
+                found = cur
+                break
+            path.append(cur)
             cur = self.parent.get(cur)
-        return None
+        for p in path:
+            memo[p] = found
+        return found
 
     def root_ancestor(self, sid):
         cur = sid
@@ -308,7 +320,8 @@ def span_event_walks(spans: DataFrame) -> DataFrame:
         st = _TraceState(pdf)
         t, tr = pdf["tenant_id"].iloc[0], pdf["trace_id"].iloc[0]
         callee_map = st.exit_to_callee_entry()
-        rows = []
+        n = len(st.order)
+        entries, counts, display_entities, display_spans = [], [], [], []
         for sid in st.order:
             kind = st.kind[sid]
             entry = st.api_entry_ancestor(sid)
@@ -333,16 +346,21 @@ def span_event_walks(spans: DataFrame) -> DataFrame:
                     display_span = bp if bp else st.v("op_name", sid)
             else:
                 display_span = st.v("op_name", sid)
-            rows.append(
-                {
-                    "tenant_id": t, "trace_id": tr, "span_id": sid,
-                    "api_trace_id": entry,
-                    "api_trace_count": 1 if entry == sid else 0,
-                    "display_entity_name": display_entity,
-                    "display_span_name": display_span,
-                }
-            )
-        return pd.DataFrame(rows, columns=[f.split()[0] for f in SPAN_EVENT_SCHEMA.split(", ")])
+            entries.append(entry)
+            counts.append(1 if entry == sid else 0)
+            display_entities.append(display_entity)
+            display_spans.append(display_span)
+        return pd.DataFrame(
+            {
+                "tenant_id": [t] * n,
+                "trace_id": [tr] * n,
+                "span_id": st.order,
+                "api_trace_id": entries,
+                "api_trace_count": counts,
+                "display_entity_name": display_entities,
+                "display_span_name": display_spans,
+            }
+        )
 
     return _grouped(spans, per_trace, SPAN_EVENT_SCHEMA)
 
