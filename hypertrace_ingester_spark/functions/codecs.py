@@ -9,6 +9,10 @@ implemented from the public container specs directly on stdlib + numpy:
   training data; interlaced/16-bit/palette images raise ValueError.
 - WAV (RIFF PCM): stdlib ``wave`` for framing, numpy for sample decode
   (16-bit PCM).
+- Y4M (YUV4MPEG2, the mjpegtools/ffmpeg raw-video stream format): text
+  stream header + FRAME markers + raw planes; luma-only and 4:2:0
+  streams decode to real per-frame arrays. Compressed video codecs
+  (H.264/VP9/...) remain the one seam that needs an external decoder.
 
 Encoders exist so the synthetic media generator produces REAL container
 bytes — the decode path in operators/multimodal.py is exercised end-to-end
@@ -139,6 +143,72 @@ def encode_png(img: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 # WAV (16-bit PCM)
 # ---------------------------------------------------------------------------
+
+def is_y4m(data: bytes) -> bool:
+    return data[:9] == b"YUV4MPEG2"
+
+
+def decode_y4m(data: bytes) -> dict:
+    """YUV4MPEG2 bytes → dict(width, height, fps, n_frames, duration_ms,
+    frames: N×H×W uint8 luma array).
+
+    Y4M (the yuv4mpeg stream format of the mjpegtools/ffmpeg ecosystem) is
+    an uncompressed container: a text stream header, then per-frame FRAME
+    markers + raw planes. ``Cmono`` (luma-only) and ``C420``-family
+    streams are supported; compressed codecs (H.264 etc.) remain outside
+    the stdlib seam."""
+    if not is_y4m(data):
+        raise ValueError("not a Y4M stream: bad magic")
+    nl = data.index(b"\n")
+    params = data[9:nl].split()
+    width = height = None
+    fps_num, fps_den = 25, 1
+    chroma = "420"
+    for p in params:
+        tag, val = chr(p[0]), p[1:].decode()
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            fps_num, fps_den = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            chroma = val
+    if not width or not height:
+        raise ValueError("truncated Y4M: missing W/H")
+    luma_size = width * height
+    frame_size = luma_size if chroma.startswith("mono") else luma_size * 3 // 2
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: missing FRAME marker")
+        pos = data.index(b"\n", pos) + 1
+        plane = np.frombuffer(data[pos:pos + luma_size], dtype=np.uint8)
+        if len(plane) < luma_size:
+            raise ValueError("truncated Y4M frame")
+        frames.append(plane.reshape(height, width))
+        pos += frame_size
+    fps = fps_num / fps_den
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "n_frames": len(frames),
+        "duration_ms": int(round(len(frames) * 1000 / fps)),
+        "frames": np.stack(frames) if frames else np.zeros((0, height, width), np.uint8),
+    }
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """N×H×W uint8 luma array → luma-only (Cmono) YUV4MPEG2 bytes."""
+    n, height, width = frames.shape
+    header = f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 Cmono\n"
+    out = [header.encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype(np.uint8).tobytes())
+    return b"".join(out)
+
 
 def decode_wav(data: bytes) -> dict:
     """WAV bytes → dict(sample_rate, n_channels, n_samples, duration_ms,

@@ -1,14 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Training-data-pipeline extension (driver mandate). Image (PNG) and audio
-(WAV) rows are decoded FOR REAL by the stdlib-only codecs in
-functions/codecs.py (chunk walk + zlib inflate + scanline unfiltering for
-PNG; RIFF PCM for WAV) — the synthetic generator emits genuine container
-bytes, so the decode path runs end-to-end with no fake. Video stays the
-documented codec seam (no container parser in the stdlib): strict mode
-raises, test mode derives a deterministic fake from the payload hash.
-Plugging ffmpeg in changes ONE branch of ``_decode_bytes``; every plan
-stays identical.
+Training-data-pipeline extension (driver mandate). Image (PNG), audio
+(WAV) and video (Y4M raw-stream) rows are all decoded FOR REAL by the
+stdlib-only codecs in functions/codecs.py — the synthetic generator emits
+genuine container bytes, so decode, feature extraction, and per-frame
+sampling run end-to-end with no fake. The remaining seam is COMPRESSED
+codecs (H.264/MP3/JPEG): unknown payloads raise in strict mode or fall
+back to a deterministic payload-hash fake; plugging ffmpeg/Pillow in
+changes ONE branch of ``_decode_bytes``, every plan stays identical.
 
 Scale design: media rows are wide (payload ~MB) — ``mapInPandas`` with a
 small ``maxRecordsPerBatch`` keeps Arrow batches bounded; feature outputs
@@ -101,10 +100,28 @@ def _decode_bytes(payload: bytes, kind: str, strict: bool = STRICT_DECODE):
             dtype=np.float32,
         )
         return feat, None, None, wav["duration_ms"], True
+    if codecs.is_y4m(payload):
+        vid = codecs.decode_y4m(payload)
+        luma = vid["frames"].astype(np.float64) / 255.0
+        feat = np.array(
+            [
+                3.0,
+                vid["width"],
+                vid["height"],
+                vid["n_frames"],
+                vid["duration_ms"] / 1000.0,
+                luma.mean() if luma.size else 0.0,
+                np.log1p(len(payload)),
+                0.0,
+            ],
+            dtype=np.float32,
+        )
+        return feat, vid["width"], vid["height"], vid["duration_ms"], True
     if strict:
         raise NotImplementedError(
             f"no codec available for kind={kind!r} payload; plug a decoder "
-            "into _decode_bytes (PNG/WAV decode natively)"
+            "into _decode_bytes (PNG/WAV/Y4M decode natively — compressed "
+            "codecs like H.264/MP3 need an external library)"
         )
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer(digest[: _FEAT_DIM * 4], dtype=np.uint32)
@@ -153,25 +170,38 @@ def extract_features(media: DataFrame, batch_rows: int = 64,
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 16) -> DataFrame:
-    """Frame-sampling plumbing for video rows: one output row per sampled
-    frame timestamp (deterministic fake frame hash until a real decoder is
-    plugged into ``_decode_bytes``)."""
+    """Frame sampling for video rows: one output row per sampled timestamp.
+
+    Y4M payloads decode for REAL — the sampled timestamp maps to its frame
+    via the stream's fps and the hash is of the actual frame's luma bytes.
+    Unknown containers (compressed codecs) fall back to the deterministic
+    payload-derived fake so the operator stays total; plug an external
+    decoder into the same branch for H.264-class inputs."""
 
     def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_idx, out_ts, out_hash = [], [], [], []
             for media_id, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                duration = int(meta["duration_ms"] or 0)
                 data = bytes(payload)
+                if codecs.is_y4m(data):
+                    vid = codecs.decode_y4m(data)
+                    duration, fps, frames = vid["duration_ms"], vid["fps"], vid["frames"]
+                else:
+                    duration, fps, frames = int(meta["duration_ms"] or 0), None, None
                 n = min(max_frames, max(duration // every_ms, 0))
                 for i in range(n):
                     ts = i * every_ms
+                    if frames is not None:
+                        fidx = min(int(ts / 1000 * fps), len(frames) - 1)
+                        digest = hashlib.sha256(frames[fidx].tobytes()).hexdigest()[:16]
+                    else:
+                        digest = hashlib.sha256(
+                            data + ts.to_bytes(8, "little")
+                        ).hexdigest()[:16]
                     out_id.append(media_id)
                     out_idx.append(i)
                     out_ts.append(ts)
-                    out_hash.append(
-                        hashlib.sha256(data + ts.to_bytes(8, "little")).hexdigest()[:16]
-                    )
+                    out_hash.append(digest)
             yield pd.DataFrame(
                 {
                     "media_id": out_id,
@@ -185,6 +215,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 16) 
 
 
 AUDIO_RATE = 4000
+VIDEO_FPS = 2
+
+
+def media_video(i: int) -> np.ndarray:
+    """Deterministic luma frames for row i → N×H×W uint8 (N = 1 + i%10)."""
+    n, h, w = 1 + (i % 10), 24, 32
+    ff, yy, xx = np.meshgrid(np.arange(n), np.arange(h), np.arange(w), indexing="ij")
+    return ((xx + yy * 2 + ff * 11 + i) % 256).astype(np.uint8)
 
 
 def media_image(i: int) -> np.ndarray:
@@ -207,10 +245,10 @@ def media_audio(i: int) -> tuple[np.ndarray, int]:
 def generate_media(spark: SparkSession, n_rows: int, partitions: int = 8) -> DataFrame:
     """Deterministic synthetic media table with REAL container payloads:
     image rows are genuine PNG bytes (gradient pattern seeded by id), audio
-    rows genuine 16-bit PCM WAV sine clips, video rows the documented fake
-    (sha512-derived bytes — no stdlib video container). Payload synthesis
-    runs Arrow-batched on executors (``mapInPandas``), never on the
-    driver — the same distribution shape a real ingest scan has."""
+    rows genuine 16-bit PCM WAV sine clips, video rows genuine Y4M
+    (YUV4MPEG2) luma streams. Payload synthesis runs Arrow-batched on
+    executors (``mapInPandas``), never on the driver — the same
+    distribution shape a real ingest scan has."""
     base = spark.range(0, n_rows, numPartitions=partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -228,8 +266,10 @@ def generate_media(spark: SparkSession, n_rows: int, partitions: int = 8) -> Dat
                     samples, duration = media_audio(i)
                     payload, codec = codecs.encode_wav(samples, AUDIO_RATE), "pcm_s16le"
                 else:
-                    duration = (i % 10) * 1000 + 500
-                    payload, codec = hashlib.sha512(f"media-{i}".encode()).digest(), "fake-video"
+                    frames = media_video(i)
+                    duration = int(round(len(frames) * 1000 / VIDEO_FPS))
+                    width, height = frames.shape[2], frames.shape[1]
+                    payload, codec = codecs.encode_y4m(frames, VIDEO_FPS, 1), "y4m"
                 ids.append(f"media-{i:06d}")
                 kinds.append(kind)
                 payloads.append(payload)

@@ -804,9 +804,10 @@ def a_otlp_gauges(spark, sf_dir):
     "x_multimodal_features",
     None,  # binary container payloads aren't reproducible in DuckDB core
     doc="Multimodal decode under the gate (rows-only): synthetic media with "
-        "REAL container payloads (PNG / 16-bit PCM WAV built and decoded by "
-        "the stdlib-only codecs in functions/codecs.py; video stays the "
-        "documented fake seam) -> mapInPandas decode/feature extraction "
+        "REAL container payloads (PNG / 16-bit PCM WAV / Y4M raw video, all "
+        "built and decoded by the stdlib-only codecs in functions/codecs.py; "
+        "compressed codecs remain the documented seam) -> mapInPandas "
+        "decode/feature extraction "
         "(payload dropped before the aggregate shuffle) -> per-kind rollup "
         "of byte counts, distinct hashes, real-decode counts and decoded "
         "dimensions.",

@@ -1,6 +1,6 @@
-"""Multimodal tests: schema shape, Arrow batch path, REAL PNG/WAV decode
-(stdlib codecs), deterministic fake for video, frame-sampling fan-out, and
-the strict-mode codec seam."""
+"""Multimodal tests: schema shape, Arrow batch path, REAL PNG/WAV/Y4M
+decode (stdlib codecs), per-frame sampling from actual stream frames, and
+the strict-mode seam for unknown (compressed) containers."""
 
 import numpy as np
 import pytest
@@ -61,20 +61,41 @@ def test_extract_features_real_decode(media):
             assert r["decoded"] and r["duration_ms"] == meta["duration_ms"]
             assert r["feat"][0] == 2.0
             assert 0.3 < r["feat"][4] < 0.4  # RMS of a 0.5-amp sine ~ 0.354
-        else:  # video: documented fake seam
-            assert not r["decoded"]
-            assert all(0.0 <= v <= 1.0 for v in r["feat"])
+        else:  # video: REAL Y4M decode — dims and duration from the stream
+            assert r["decoded"] and r["feat"][0] == 3.0
+            assert r["width"] == 32 and r["height"] == 24
+            assert r["duration_ms"] == meta["duration_ms"]
     # payload column is gone — downstream shuffles carry no media bytes
     assert "payload" not in feats.columns
 
 
-def test_strict_mode_decodes_image_and_audio(spark, media):
-    # strict mode now WORKS for PNG/WAV (real codecs); only video raises
-    ok = mm.extract_features(
-        media.filter(F.col("kind") != "video"), strict=True
-    )
-    rows = ok.collect()
-    assert len(rows) == 60 and all(r["decoded"] for r in rows)
+def test_strict_mode_decodes_all_modalities(spark, media):
+    # strict mode WORKS for PNG/WAV/Y4M (real codecs)
+    rows = mm.extract_features(media, strict=True).collect()
+    assert len(rows) == 90 and all(r["decoded"] for r in rows)
+
+
+def test_y4m_roundtrip_exact():
+    from hypertrace_ingester_spark.functions import codecs
+
+    frames = mm.media_video(5)
+    vid = codecs.decode_y4m(codecs.encode_y4m(frames, mm.VIDEO_FPS, 1))
+    assert vid["n_frames"] == len(frames)
+    assert (vid["frames"] == frames).all()  # raw container is lossless
+    assert vid["duration_ms"] == int(round(len(frames) * 1000 / mm.VIDEO_FPS))
+
+
+def test_sample_frames_hash_real_frames(spark, media):
+    """Sampled frame hashes come from the ACTUAL decoded luma planes."""
+    import hashlib
+
+    frames_df = mm.sample_frames(media, every_ms=1000, max_frames=4).toPandas()
+    some = frames_df.iloc[0]
+    i = int(some["media_id"].split("-")[1])
+    vid_frames = mm.media_video(i)
+    fidx = min(int(some["frame_ts_ms"] / 1000 * mm.VIDEO_FPS), len(vid_frames) - 1)
+    expect = hashlib.sha256(vid_frames[fidx].tobytes()).hexdigest()[:16]
+    assert some["frame_hash"] == expect
 
 
 def test_sample_frames(media):
@@ -90,11 +111,14 @@ def test_sample_frames(media):
         assert idxs == list(range(len(idxs)))  # contiguous from 0
 
 
-def test_strict_mode_raises_for_video(spark, media):
+def test_strict_mode_raises_for_unknown_container(spark):
+    unknown = spark.createDataFrame(
+        [("m-0", "video", b"\x00compressed-h264-ish", {"width": None,
+          "height": None, "duration_ms": 1000, "codec": "h264"})],
+        mm.MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception) as exc_info:
-        mm.extract_features(
-            media.filter(F.col("kind") == "video").limit(1), strict=True
-        ).collect()
+        mm.extract_features(unknown, strict=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
