@@ -49,13 +49,6 @@ def is_wav(data: bytes) -> bool:
 # PNG
 # ---------------------------------------------------------------------------
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
-
-
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → HxWxC uint8 array (C=1 gray, 3 RGB, 4 RGBA)."""
     if not is_png(data):
@@ -63,7 +56,8 @@ def decode_png(data: bytes) -> np.ndarray:
     pos, width = 8, None
     idat = bytearray()
     while pos + 8 <= len(data):
-        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
         chunk = data[pos + 8:pos + 8 + length]
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
@@ -91,29 +85,35 @@ def decode_png(data: bytes) -> np.ndarray:
     out = np.zeros_like(lines)
     bpp = channels  # bytes per pixel at 8-bit depth
     for y in range(height):
-        f, line = int(filters[y]), lines[y].astype(np.uint8)
+        f, line = int(filters[y]), lines[y]
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
         if f == 0:  # None
             out[y] = line
-        elif f == 2:  # Up
+        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256)
             out[y] = line + prev
-        else:  # Sub / Average / Paeth need the left neighbor serially per pixel
-            cur = np.zeros(stride, dtype=np.uint8)
+        elif f == 1:  # Sub — per-byte-lane prefix sum mod 256, vectorized
+            lanes = line.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth depend on up+left — serial,
+            # plain-int arithmetic (numpy uint8 scalar ops would warn on
+            # every wrap and run slower)
+            cur = bytearray(stride)
+            prev_l = prev.tolist()
+            line_l = line.tolist()
             for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else np.uint8(0)
-                up = prev[x]
-                ul = prev[x - bpp] if x >= bpp else np.uint8(0)
-                if f == 1:
-                    cur[x] = line[x] + left
-                elif f == 3:
-                    cur[x] = line[x] + np.uint8((int(left) + int(up)) // 2)
-                elif f == 4:
-                    cur[x] = line[x] + _paeth(
-                        np.uint8(left), np.uint8(up), np.uint8(ul)
-                    )
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev_l[x]
+                if f == 3:
+                    cur[x] = (line_l[x] + (left + up) // 2) & 0xFF
                 else:
-                    raise ValueError(f"bad PNG filter {f}")
-            out[y] = cur
+                    ul = prev_l[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    cur[x] = (line_l[x] + pred) & 0xFF
+            out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
     return out.reshape(height, width, channels)
 
 
@@ -176,6 +176,10 @@ def decode_y4m(data: bytes) -> dict:
             chroma = val
     if not width or not height:
         raise ValueError("truncated Y4M: missing W/H")
+    if not (chroma.startswith("mono") or chroma.startswith("420")):
+        # C422/C444 have different frame sizes — reject explicitly instead
+        # of mis-striding into the planes and reporting 'corrupt'
+        raise ValueError(f"unsupported Y4M chroma {chroma!r} (mono/420 only)")
     luma_size = width * height
     frame_size = luma_size if chroma.startswith("mono") else luma_size * 3 // 2
     pos, frames = nl + 1, []
@@ -212,7 +216,9 @@ def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes
 
 def decode_wav(data: bytes) -> dict:
     """WAV bytes → dict(sample_rate, n_channels, n_samples, duration_ms,
-    samples: float64 ndarray in [-1, 1])."""
+    samples: float64 ndarray in [-1, 1]). Multi-channel audio is downmixed
+    to mono (channel mean) so ``len(samples) == n_samples`` always holds —
+    interleaved samples would silently disagree with the frame count."""
     if not is_wav(data):
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     with wave.open(io.BytesIO(data), "rb") as w:
@@ -221,6 +227,8 @@ def decode_wav(data: bytes) -> dict:
         rate, n_ch, n_frames = w.getframerate(), w.getnchannels(), w.getnframes()
         pcm = np.frombuffer(w.readframes(n_frames), dtype="<i2")
     samples = pcm.astype(np.float64) / 32768.0
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
     return {
         "sample_rate": rate,
         "n_channels": n_ch,

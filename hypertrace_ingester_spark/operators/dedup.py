@@ -38,13 +38,21 @@ def words(text_col: str = "text") -> Column:
 
 
 def shingles(text_col: str = "text", k: int = SHINGLE_K) -> Column:
-    """Distinct word k-gram shingles via sequence+transform (no explode)."""
+    """Distinct word k-gram shingles via sequence+transform (no explode).
+
+    Docs with fewer than ``k`` words have NO shingles — guarded with an
+    explicit empty array: ``sequence(1, n-k+1)`` would otherwise DESCEND
+    ([1, 0]) for short docs and the out-of-range ``element_at`` throws
+    under Spark 4 ANSI mode (review find r3)."""
     w = words(text_col)
     n = F.size(w)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
-    )
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

@@ -179,14 +179,17 @@ def ann_topk(
         F.col("vnorm").alias("qnorm"), "bucket",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    # No dedup needed even with multiprobe: a query's probe buckets are
+    # pairwise distinct (the base signature XOR distinct single bits) and
+    # each corpus vector lives in exactly ONE bucket, so a (query,
+    # neighbor) pair can meet at most once (review find r3 — the previous
+    # unconditional distinct added a second full shuffle for nothing).
     scored = (
         c.join(q, on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
-    if nprobe > 1:  # a pair reached via 2 probe buckets counts once
-        scored = scored.distinct()
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -322,13 +325,19 @@ def ivf_topk(
         F.col("vnorm").alias("qnorm"), "cell",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
+    scored = (
         c.join(q, on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")))
         .select("query_id", "neighbor_id", "cos_sim")
-        .distinct()  # a pair probed via 2 cells counts once
-        .withColumn("rank", F.row_number().over(w))
+    )
+    if corpus_probe > 1:
+        # only multiple assignment can surface a pair twice (once per
+        # corpus cell that intersects the query's probe set); with
+        # single assignment the distinct would just add a shuffle
+        scored = scored.distinct()
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
     )

@@ -77,10 +77,16 @@ def spans(spark, sf_dir: str, shared: bool = True) -> DataFrame:
     26-column frame to Python costs more than the micro-stages it saves,
     and at real scale whole-stage codegen widens that gap."""
     if shared:
-        key = (spark.sparkContext.applicationId, sf_dir)
+        app_id = spark.sparkContext.applicationId
+        key = (app_id, sf_dir)
         hit = _SPANS_CACHE.get(key)
         if hit is not None:
             return hit
+        # evict entries from other (stopped) contexts: their JVM-side RDD
+        # handles are dead and would otherwise accumulate for the process
+        # lifetime in long-lived hosts cycling Spark sessions
+        for stale in [k for k in _SPANS_CACHE if k[0] != app_id]:
+            del _SPANS_CACHE[stale]
         df = spans(spark, sf_dir, shared=False).localCheckpoint(eager=False)
         _SPANS_CACHE[key] = df
         return df

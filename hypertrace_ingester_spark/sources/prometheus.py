@@ -16,21 +16,30 @@ from __future__ import annotations
 import os
 
 
+def _escape(value: str) -> str:
+    """Label-value escaping per the exposition format: backslash, quote,
+    newline."""
+    return value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: dict[str, str]) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    inner = ",".join(f'{k}="{_escape(str(v))}"' for k, v in sorted(labels.items()))
     return "{" + inner + "}"
 
 
 def render_exposition(metrics: list[tuple[str, dict[str, str], float]],
-                      help_text: dict[str, str] | None = None) -> str:
+                      help_text: dict[str, str] | None = None,
+                      types: dict[str, str] | None = None) -> str:
     """(name, labels, value) triples → Prometheus text exposition format.
 
-    Families are grouped with one ``# HELP``/``# TYPE`` header each
-    (counter semantics — every exported value here is a monotone count
-    for the run)."""
+    Families are grouped with one ``# HELP``/``# TYPE`` header each;
+    ``types`` maps family → counter|gauge (default counter — rate() over a
+    family mislabeled counter produces nonsense on every faster run, so
+    durations MUST be declared gauges)."""
     help_text = help_text or {}
+    types = types or {}
     by_family: dict[str, list[str]] = {}
     for name, labels, value in metrics:
         line = f"{name}{_fmt_labels(labels)} {value:g}"
@@ -38,7 +47,7 @@ def render_exposition(metrics: list[tuple[str, dict[str, str], float]],
     out = []
     for name in sorted(by_family):
         out.append(f"# HELP {name} {help_text.get(name, name)}")
-        out.append(f"# TYPE {name} counter")
+        out.append(f"# TYPE {name} {types.get(name, 'counter')}")
         out.extend(by_family[name])
     return "\n".join(out) + "\n"
 
@@ -62,6 +71,7 @@ def write_pipeline_metrics(out_dir: str, manifest: dict) -> str:
             "ingester_routed_rows_total": "rows routed per sink this run",
             "ingester_run_seconds": "wall seconds for the pipeline run",
         },
+        types={"ingester_run_seconds": "gauge"},
     )
     path = os.path.join(out_dir, "metrics.prom")
     with open(path, "w") as fh:

@@ -76,7 +76,11 @@ def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True) ->
     script = WORKER.format(repo=REPO)
     cores = n * 8 if mode == "executors" else n
     cmd = [sys.executable, "-c", script, mode, str(n), input_dir, str(reps), SCRATCH]
-    if pin and shutil_which("taskset") and cores <= os.cpu_count():
+    # record whether THIS level actually got pinned — taskset may be
+    # missing or the level may need more cores than the host has, and a
+    # silently-unpinned level must not be reported as pinned
+    pinned = bool(pin and shutil_which("taskset") and cores <= os.cpu_count())
+    if pinned:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
         cmd,
@@ -84,7 +88,9 @@ def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True) ->
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            result = json.loads(line[len("RESULT "):])
+            result["pinned"] = pinned
+            return result
     raise RuntimeError(f"no RESULT from {mode}={n}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -129,7 +135,7 @@ def main() -> None:
     efficiency = speedup / (n4 / n)
     print(f"speedup {speedup:.2f}x over {n4//n}x {args.mode} -> scaling efficiency {efficiency:.2f}")
     print("RESULT_JSON " + json.dumps({"mode": args.mode, "rows": args.rows,
-                                       "pinned": not args.no_pin,
+                                       "pinned": all(r["pinned"] for r in results.values()),
                                        "levels": args.levels,
                                        "results": {str(k): v for k, v in results.items()},
                                        "speedup": speedup, "efficiency": efficiency}))

@@ -112,4 +112,4 @@ def test_prometheus_exposition(spark, run):
     assert "# TYPE ingester_routed_rows_total counter" in text
     for sink, n in manifest["stages"]["route"]["sink_counts"].items():
         assert f'ingester_routed_rows_total{{sink="{sink}"}} {n}' in text
-    assert "ingester_run_seconds" in text
+    assert "# TYPE ingester_run_seconds gauge" in text  # durations are gauges

@@ -24,10 +24,9 @@ def _executed(df) -> str:
 def test_drop_filter_pushdown(spark):
     plan = _executed(REGISTRY["p_drop_filter"].fn(spark, SF_DIR))
     assert "PushedFilters: [IsNotNull(event_type), Not(EqualTo(event_type,error))" in plan
-    # column pruning: the wide props column isn't in the scan schema
+    # column pruning: untouched columns are absent from the scan schema
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
-    assert "props" in scan or "props" not in scan  # schema line exists
-    assert "ts:" not in scan  # untouched column pruned from this query's scan
+    assert "ts:" not in scan and "user_id" not in scan
 
 
 def test_sessionize_single_exchange(spark):
