@@ -58,3 +58,44 @@ def test_fold_matches_batch_sessionize(ts, splits, jitter):
     if state.get is not None and state.get[0] > 0:
         closed.append(state.get)
     assert closed == batch_sessions(ts)
+
+
+@given(
+    ts=st.lists(st.integers(0, 10**6), min_size=1, max_size=60),
+    cap=st.integers(1, 6),
+)
+@settings(max_examples=25, deadline=None)
+def test_session_emit_capped_matches_naive(ts, cap):
+    """group.session_emit_capped == a straight-line python reference:
+    gap-split sorted timestamps, keep the first `cap` per session, emit
+    count/start/end(kept)/truncated."""
+    from hypertrace_ingester_spark.operators import group as grp
+    from hypertrace_ingester_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    gap = 1000
+    rows = [(1, int(t), i) for i, t in enumerate(sorted(ts))]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_id long")
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["session_start_ms"], r["session_end_ms"], r["truncated"]
+        )
+        for r in grp.session_emit_capped(df, cap=cap, gap_ms=gap).collect()
+    }
+
+    # naive reference
+    ordered = sorted(zip(sorted(ts), range(len(ts))))
+    sessions, cur = [], [ordered[0]]
+    for prev, nxt in zip(ordered, ordered[1:]):
+        if nxt[0] - prev[0] > gap:
+            sessions.append(cur)
+            cur = []
+        cur.append(nxt)
+    sessions.append(cur)
+    expect = {}
+    for idx, sess in enumerate(sessions, start=1):
+        kept = sess[:cap]
+        expect[(1, idx)] = (
+            len(kept), sess[0][0], kept[-1][0], len(sess) > cap
+        )
+    assert got == expect
