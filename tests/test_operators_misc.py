@@ -114,3 +114,46 @@ def test_create_sink_tables(spark, sequences, tmp_path):
     for t in tables:
         total += spark.table(t).count()
     assert total == routed.count()
+
+
+def test_value_coercion_mirrors_reference_cases(spark):
+    """P14 — functions/coerce.py vs the reference's ValueCoercerTest
+    (trace-reader/.../ValueCoercerTest.java:15-52): bool parses only
+    true/false (any case), int64 is strict-integral, double accepts
+    decimals, timestamp takes epoch-millis first then ISO-8601, junk
+    coerces to null."""
+    from pyspark.sql import functions as F
+
+    from hypertrace_ingester_spark.functions import coerce as co
+
+    df = spark.createDataFrame(
+        [("some string", "true", "FALSE", "dummy", "42", "42.3",
+          "1604339469114", "2020-11-02T17:51:09.114Z", "???")],
+        "s string, b1 string, b2 string, junk string, i string, d string, "
+        "ep string, iso string, badts string",
+    )
+    row = df.select(
+        co.coerce(F.col("s"), "TYPE_STRING").alias("s"),
+        co.coerce(F.col("b1"), "TYPE_BOOL").alias("b_true"),
+        co.coerce(F.col("b2"), "TYPE_BOOL").alias("b_false"),
+        co.coerce(F.col("junk"), "TYPE_BOOL").alias("b_junk"),
+        co.coerce(F.col("i"), "TYPE_INT64").alias("i_ok"),
+        co.coerce(F.col("junk"), "TYPE_INT64").alias("i_junk"),
+        co.coerce(F.col("d"), "TYPE_INT64").alias("i_decimal"),
+        co.coerce(F.col("i"), "TYPE_DOUBLE").alias("d_int"),
+        co.coerce(F.col("d"), "TYPE_DOUBLE").alias("d_ok"),
+        co.coerce(F.col("junk"), "TYPE_DOUBLE").alias("d_junk"),
+        co.coerce(F.col("ep"), "TYPE_TIMESTAMP").alias("ts_epoch"),
+        co.coerce(F.col("iso"), "TYPE_TIMESTAMP").alias("ts_iso"),
+        co.coerce(F.col("badts"), "TYPE_TIMESTAMP").alias("ts_junk"),
+    ).first()
+    assert row["s"] == "some string"
+    assert row["b_true"] is True and row["b_false"] is False
+    assert row["b_junk"] is None
+    assert row["i_ok"] == 42 and row["i_junk"] is None
+    assert row["i_decimal"] is None  # Long.valueOf rejects decimals
+    assert row["d_int"] == 42.0 and row["d_ok"] == 42.3
+    assert row["d_junk"] is None
+    assert row["ts_epoch"] == 1604339469114
+    assert row["ts_iso"] == 1604339469114  # same instant via ISO-8601
+    assert row["ts_junk"] is None
