@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     classification) → route (rule fan-out to sinks) → aggregate (per-sink,
     per-hour counts). One scan, one shuffle (the final groupBy).
     """
+    qcat.ensure_session_confs(spark)  # driver-owned session: pin SQL confs
     events = load_table(spark, SF0001, "events")
     enriched = vw.span_event_view(events)  # parse + enrich projections
     sink = (

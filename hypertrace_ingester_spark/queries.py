@@ -1013,9 +1013,52 @@ def x_explode_words(spark, sf_dir):
 # public accessors for __spark_entry__
 # ---------------------------------------------------------------------------
 
+# Runtime-settable SQL confs the catalog depends on, applied defensively to
+# WHATEVER session the caller passes in (the driver's correctness gate builds
+# its own SparkSession, not ours from session.get_spark):
+# - LAST_WIN: P3 lowercase dedup produces case-duplicate map keys; Spark's
+#   default policy throws (reference HashMap.put is last-wins).
+# - UTC: unix_millis(ts.cast(timestamp)) must agree with DuckDB epoch_ms.
+# - hugeMethodLimit: regex-heavy parse stages codegen >8KB methods the JIT
+#   refuses; default Spark then runs them interpreted (~30x slower).
+_SESSION_CONFS: dict[str, str] = {
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.codegen.hugeMethodLimit": "8000",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the SQL confs the catalog semantics require on the given session.
+
+    All keys are runtime-settable SQL confs, so this works on any session
+    regardless of how it was built; setting an already-correct value is a
+    no-op. Failures are swallowed per-key (a locked-down session should not
+    take the whole catalog with it)."""
+    for k, v in _SESSION_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def _with_session_confs(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: _with_session_confs(qd.fn) for name, qd in REGISTRY.items()}
 
 
 def _load_extensions() -> None:
