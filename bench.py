@@ -131,6 +131,15 @@ def main() -> None:
         "lsh_b8_multiprobe4": recall(
             sim.ann_topk(emb, ann_queries, dim=64, k=5, bits=8, nprobe=4), exact
         ),
+        # multi-table union (classic LSH recall lever; corpus rows ×tables)
+        "lsh_b8_t8_multiprobe4": recall(
+            sim.ann_topk(emb, ann_queries, dim=64, k=5, bits=8, tables=8, nprobe=4),
+            exact,
+        ),
+        "lsh_b8_t16_multiprobe4": recall(
+            sim.ann_topk(emb, ann_queries, dim=64, k=5, bits=8, tables=16, nprobe=4),
+            exact,
+        ),
         "ivf_random_p4": recall(sim.ivf_topk(emb, ann_queries, dim=64, k=5), exact),
         "ivf_trained_p4": recall(
             sim.ivf_topk(emb, ann_queries, dim=64, k=5, centroids=trained), exact

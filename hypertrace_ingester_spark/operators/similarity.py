@@ -103,52 +103,59 @@ def _hyperplanes(dim: int, bits: int = ANN_BITS) -> np.ndarray:
 def lsh_signatures(
     df: DataFrame, dim: int, bits: int = ANN_BITS,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    nprobe: int = 1,
+    nprobe: int = 1, tables: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id(s) per vector, as a PASS-THROUGH
     ``mapInPandas``: yields (id, embedding, vnorm, bucket) from the same
-    Arrow batch — one numpy matmul per batch, no per-row Python, and no
+    Arrow batch — one numpy matmul per batch (all tables at once: the
+    plane matrix is (dim, tables*bits)), no per-row Python, and no
     join-back shuffle to reattach the signature to its vector.
 
     ``nprobe`` > 1 enables margin-ordered multiprobe (query side): besides
     the exact bucket, the nprobe-1 buckets at Hamming distance 1 obtained by
     flipping the bits whose hyperplane margin |x·p| is smallest — the bits
     most likely to disagree with a true neighbor's signature. Corpus side
-    stays nprobe=1 (each vector lives in exactly one bucket; probing is the
-    query's job), so corpus storage/shuffle volume is unchanged."""
-    planes = _hyperplanes(dim, bits)
+    stays nprobe=1 (each vector lives in exactly one bucket per table;
+    probing is the query's job), so corpus storage/shuffle volume is
+    unchanged by nprobe.
+
+    ``tables`` > 1 is classic multi-table LSH (E2LSH / FAISS IndexLSH
+    banding): ``tables`` independent hyperplane sets, a vector lives in one
+    bucket PER table, and a candidate needs to collide in ANY table —
+    union recall 1-(1-p^bits)^tables vs a single table's p^bits. Storage
+    and shuffle volume scale ×tables (the standard trade); the table index
+    is packed into the bucket id's high bits so the join key stays one
+    bigint column."""
+    planes = _hyperplanes(dim, bits * tables)
     nprobe = max(1, min(nprobe, bits + 1))
 
     def signer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (1 << np.arange(bits)).astype(np.int64)
+        table_tag = (np.arange(tables).astype(np.int64) << bits)  # disjoint bucket spaces
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            margins = x @ planes
-            sig_bits = margins > 0
-            bucket = sig_bits.astype(np.int64) @ weights
+            margins = (x @ planes).reshape(len(pdf), tables, bits)
+            bucket = (margins > 0).astype(np.int64) @ weights + table_tag  # (n, tables)
             vnorm = np.sqrt((x * x).sum(axis=1))
             ids = pdf[id_col].to_numpy()
             vecs = pdf[vec_col]
-            if nprobe == 1:
-                yield pd.DataFrame(
-                    {id_col: ids, vec_col: vecs, "vnorm": vnorm, "bucket": bucket}
-                )
-                continue
-            # multiprobe: flip the (nprobe-1) lowest-|margin| bits, one at a
-            # time, producing Hamming-1 neighbor buckets per row
-            flip_order = np.argsort(np.abs(margins), axis=1, kind="stable")[:, : nprobe - 1]
-            probes = [bucket]
-            for j in range(nprobe - 1):
-                probes.append(np.bitwise_xor(bucket, weights[flip_order[:, j]]))
-            n = len(ids)
+            if nprobe > 1:
+                # multiprobe: per table, flip the (nprobe-1) lowest-|margin|
+                # bits one at a time — Hamming-1 neighbor buckets per row
+                flip_order = np.argsort(np.abs(margins), axis=2, kind="stable")[:, :, : nprobe - 1]
+                probes = [bucket]
+                for j in range(nprobe - 1):
+                    probes.append(np.bitwise_xor(bucket, weights[flip_order[:, :, j]]))
+                bucket = np.concatenate(probes, axis=1)  # (n, tables*nprobe)
+            fan = bucket.shape[1]
             yield pd.DataFrame(
                 {
-                    id_col: np.tile(ids, nprobe),
-                    vec_col: pd.concat([vecs] * nprobe, ignore_index=True),
-                    "vnorm": np.tile(vnorm, nprobe),
-                    "bucket": np.concatenate(probes),
+                    id_col: np.repeat(ids, fan),
+                    vec_col: vecs.loc[vecs.index.repeat(fan)].reset_index(drop=True),
+                    "vnorm": np.repeat(vnorm, fan),
+                    "bucket": bucket.reshape(-1),
                 }
             )
 
@@ -163,33 +170,42 @@ def ann_topk(
     k: int = 5,
     bits: int = ANN_BITS,
     nprobe: int = 1,
+    tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's LSH probe
     buckets; exact cosine + per-query top-k within the bucket. Trades recall
-    (vectors in unprobed buckets are missed; raise ``nprobe``) for a corpus
-    shuffle keyed by bucket instead of an all-pairs scan."""
-    c = lsh_signatures(corpus, dim, bits, id_col, vec_col).select(
+    (vectors in unprobed buckets are missed; raise ``nprobe`` and/or
+    ``tables``) for a corpus shuffle keyed by bucket instead of an
+    all-pairs scan. On near-uniform embeddings a single hyperplane table
+    has poor recall no matter the probing (there is no low-dimensional
+    structure for 8-16 hyperplanes to capture); multi-table union is the
+    standard remedy — see the measured recall table in bench.py output."""
+    c = lsh_signatures(corpus, dim, bits, id_col, vec_col, tables=tables).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"), "bucket",
     )
-    q = lsh_signatures(queries, dim, bits, id_col, vec_col, nprobe=nprobe).select(
+    q = lsh_signatures(queries, dim, bits, id_col, vec_col, nprobe=nprobe, tables=tables).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         F.col("vnorm").alias("qnorm"), "bucket",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    # No dedup needed even with multiprobe: a query's probe buckets are
-    # pairwise distinct (the base signature XOR distinct single bits) and
-    # each corpus vector lives in exactly ONE bucket, so a (query,
-    # neighbor) pair can meet at most once (review find r3 — the previous
-    # unconditional distinct added a second full shuffle for nothing).
+    # Single-table: no dedup needed even with multiprobe — a query's probe
+    # buckets are pairwise distinct (the base signature XOR distinct single
+    # bits) and each corpus vector lives in exactly ONE bucket, so a
+    # (query, neighbor) pair can meet at most once (review find r3 — the
+    # previous unconditional distinct added a second full shuffle for
+    # nothing). Multi-table: the same pair can collide in several tables
+    # (that is the point), so dedup before the top-k window.
     scored = (
         c.join(q, on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
+    if tables > 1:
+        scored = scored.distinct()
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -63,3 +63,44 @@ def test_ivf_deterministic_across_partitionings(spark):
         "query_id", "rank"
     ).collect()
     assert a == b
+
+
+def test_multitable_lsh_raises_recall_and_dedups(spark):
+    """Multi-table hyperplane LSH (classic E2LSH banding): the union over
+    independent tables must dominate a single table's recall, and a
+    (query, neighbor) pair colliding in several tables must appear once."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def pairs(**kw):
+        return [
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ann_topk(emb, queries, dim=64, k=5, bits=8, **kw).collect()
+        ]
+
+    single = pairs()
+    multi = pairs(tables=8)
+    assert len(set(multi)) == len(multi), "duplicate (query, neighbor) pairs"
+    r1 = len(set(single) & exact) / len(exact)
+    r8 = len(set(multi) & exact) / len(exact)
+    assert r8 >= r1, f"8-table recall {r8:.2f} < single-table {r1:.2f}"
+    assert len(multi) >= len(single), "union candidates should not shrink"
+
+
+def test_multitable_signatures_table1_matches_single(spark):
+    """tables=1 must be bit-identical to the pre-multi-table behavior:
+    same bucket for every vector (plane matrix prefix is shared)."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    a = {
+        r["vec_id"]: r["bucket"]
+        for r in sim.lsh_signatures(emb, dim=64, bits=8).collect()
+    }
+    b = {
+        r["vec_id"]: r["bucket"]
+        for r in sim.lsh_signatures(emb, dim=64, bits=8, tables=1).collect()
+    }
+    assert a == b
