@@ -59,12 +59,52 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def host_probe(own_jvms: int = 0) -> dict:
+    """Cheap canary for the two failure modes that have poisoned
+    measurements on this sandbox (round 3): stray Spark JVMs left behind by
+    killed parent processes (an orphaned driver keeps executing its
+    submitted job at ~12 cores), and hypervisor CPU-steal bursts. Reported
+    in the bench JSON so a slow number is attributable; costs <1 s."""
+    import subprocess
+
+    def stat():
+        v = open("/proc/stat").readline().split()[1:9]
+        return list(map(int, v))  # user nice sys idle iowait irq softirq steal
+
+    a = stat()
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 0.4:
+        x += 1
+    spin_mops = round(x / (time.time() - t0) / 1e6, 2)
+    b = stat()
+    d = [y - z for z, y in zip(a, b)]
+    steal_pct = round(100 * d[7] / max(sum(d), 1), 1)
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,cmd"], capture_output=True, text=True, timeout=5
+        ).stdout
+        stray = sum(
+            1 for ln in out.splitlines()
+            if "java" in ln and "/opt/spark" in ln
+        ) - own_jvms  # pass 1 when our own session is already up
+    except Exception:
+        stray = -1
+    probe = {"steal_pct": steal_pct, "spin_mops": spin_mops,
+             "stray_jvms": max(stray, 0)}
+    if probe["stray_jvms"] > 0:
+        print(f"WARNING: {probe['stray_jvms']} stray Spark JVM(s) running — "
+              "numbers below are contaminated", file=sys.stderr)
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    probe_pre = host_probe(own_jvms=0)
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
 
@@ -82,11 +122,15 @@ def main() -> None:
         ).parquet(input_dir)
     seqs = spark.read.parquet(input_dir)
 
-    # one untimed warmup run (JIT + page cache), then 3 measured runs with
-    # the MEDIAN reported — steady-state throughput is what a long-running
-    # cluster job sees, and a single run carries ±10% machine-state luck
+    # one untimed warmup run (JIT + page cache), then 5 measured runs with
+    # the MEDIAN reported as `value` and the BEST run alongside — this host
+    # has episodic multi-minute stalls (see BENCH/BASELINE.md "Measurement
+    # hygiene": hypervisor steal bursts + page-allocation stalls with CPUs
+    # idle, slowdowns up to 4x, one-sided noise), so the minimum is the
+    # honest estimate of what the code does and the median shows the
+    # machine-state distribution the run actually saw
     pipeline_runs = []
-    for i in range(4):
+    for i in range(6):
         out_dir = tempfile.mkdtemp(prefix="bench_pipe_", dir=scratch)
         t0 = time.time()
         run_pipeline(spark, seqs, PipelineConfig(out_dir=out_dir))
@@ -161,9 +205,13 @@ def main() -> None:
         "sf": sf,
         "pipeline_rows": n_rows,
         "throughput_seq_per_sec": round(n_rows / pipeline_sec, 1),
+        "pipeline_best_sec": round(pipeline_runs[0], 3),
+        "best_throughput_seq_per_sec": round(n_rows / pipeline_runs[0], 1),
         "pipeline_runs_sec": [round(t, 3) for t in pipeline_runs],
         "cpus": cpus,
         "total_query_sec": round(sum(query_secs.values()), 3),
+        "host_probe_pre": probe_pre,
+        "host_probe_post": host_probe(own_jvms=1),
     }
     print(json.dumps(result))
 

@@ -40,12 +40,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 WORKER = r"""
-import json, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from hypertrace_ingester_spark.session import get_spark
 from hypertrace_ingester_spark.plans.pipeline import run_pipeline, PipelineConfig
 
 mode, n, input_dir, reps, scratch = sys.argv[1], int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), sys.argv[5]
+narrow = "narrow" in sys.argv[6:]
+interleaved = "interleaved" in sys.argv[6:]
 if mode == "executors":
     # N separate executor JVMs x 8 cores — the in-sandbox analog of an
     # N-executor cluster (own heap + GC per executor, shared host DRAM)
@@ -57,31 +59,74 @@ else:
     extra = {{}}
 spark = get_spark(app_name=f"scaling_{{mode}}_{{n}}", master=master,
                   shuffle_partitions=max(cores, 8), extra_conf=extra)
+if narrow:
+    # the narrow input is ~20x smaller on disk, so the default 128 MB
+    # maxPartitionBytes would pack it into ~1 input split and serialize
+    # the parse stage — size splits to the SAME task count the wide input
+    # gets (~1 split per 128 MB of wide bytes ~ 64 splits at 4M rows),
+    # keeping the two plans task-for-task comparable
+    nbytes = sum(
+        os.path.getsize(os.path.join(input_dir, f))
+        for f in os.listdir(input_dir) if f.endswith(".parquet")
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(nbytes // 64, 1 << 20)))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
 seqs = spark.read.parquet(input_dir)
-times = []
-for i in range(reps + 1):  # rep 0 = untimed warmup
+
+def one_rep():
     out = tempfile.mkdtemp(prefix=f"scale_{{n}}_", dir=scratch)
     t0 = time.time()
     m = run_pipeline(spark, seqs, PipelineConfig(out_dir=out))
     dt = time.time() - t0
     shutil.rmtree(out, ignore_errors=True)
-    if i > 0:
-        times.append(dt)
-print("RESULT " + json.dumps({{"n": n, "times": times,
-                               "routed": m["total_routed_rows"]}}))
+    return dt, m
+
+if interleaved:
+    # driven over stdin by the parent: one rep per RUN line, so reps
+    # alternate between parallelism levels (ABAB) — an episodic host
+    # slowdown (hypervisor steal / memory-reclaim stall) contaminates
+    # both levels instead of silently poisoning one
+    routed = None
+    print("READY", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "QUIT":
+            break
+        dt, m = one_rep()
+        routed = m["total_routed_rows"]
+        print(f"REP {{dt:.3f}}", flush=True)
+    print("RESULT " + json.dumps({{"n": n, "routed": routed}}), flush=True)
+else:
+    times = []
+    for i in range(reps + 1):  # rep 0 = untimed warmup
+        dt, m = one_rep()
+        if i > 0:
+            times.append(dt)
+    print("RESULT " + json.dumps({{"n": n, "times": times,
+                                   "routed": m["total_routed_rows"]}}))
 """
 
 
-def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True) -> dict:
+def _level_cmd(mode: str, n: int, input_dir: str, reps: int, pin: bool,
+               narrow: bool, interleaved: bool = False) -> tuple[list, bool]:
     script = WORKER.format(repo=REPO)
     cores = n * 8 if mode == "executors" else n
     cmd = [sys.executable, "-c", script, mode, str(n), input_dir, str(reps), SCRATCH]
+    if narrow:
+        cmd.append("narrow")
+    if interleaved:
+        cmd.append("interleaved")
     # record whether THIS level actually got pinned — taskset may be
     # missing or the level may need more cores than the host has, and a
     # silently-unpinned level must not be reported as pinned
     pinned = bool(pin and shutil_which("taskset") and cores <= os.cpu_count())
     if pinned:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    return cmd, pinned
+
+
+def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True, narrow: bool = False) -> dict:
+    cmd, pinned = _level_cmd(mode, n, input_dir, reps, pin, narrow)
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, timeout=3600,
@@ -92,6 +137,67 @@ def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True) ->
             result["pinned"] = pinned
             return result
     raise RuntimeError(f"no RESULT from {mode}={n}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def run_interleaved(mode: str, levels: list, input_dir: str, reps: int,
+                    pin: bool, narrow: bool) -> dict:
+    """ABAB rep ordering: both level workers stay alive (only one executes
+    at a time, driven over stdin), so an episodic host slowdown lands on
+    reps of BOTH levels rather than silently poisoning whichever level ran
+    during the episode — the failure mode that produced round-3's
+    32-slower-than-8 artifacts."""
+    procs, pinned = {}, {}
+    for n in levels:
+        cmd, pn = _level_cmd(mode, n, input_dir, reps, pin, narrow, interleaved=True)
+        procs[n] = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+        )
+        pinned[n] = pn
+    try:
+        for n in levels:  # wait for session init before any timing
+            line = procs[n].stdout.readline()
+            while line and not line.startswith("READY"):
+                line = procs[n].stdout.readline()
+            if not line:
+                raise RuntimeError(f"worker {n} died before READY")
+        times = {n: [] for n in levels}
+        for rep in range(reps + 1):  # rep 0 = untimed warmup (both levels)
+            for n in levels:
+                p = procs[n]
+                p.stdin.write("RUN\n")
+                p.stdin.flush()
+                line = p.stdout.readline()
+                while line and not line.startswith("REP "):
+                    line = p.stdout.readline()
+                if not line:
+                    raise RuntimeError(f"worker {n} died mid-rep")
+                if rep > 0:
+                    times[n].append(float(line.split()[1]))
+                    print(f"  rep {rep} {mode}={n}: {times[n][-1]:.1f}s", flush=True)
+        results = {}
+        for n in levels:
+            p = procs[n]
+            p.stdin.write("QUIT\n")
+            p.stdin.flush()
+            line = p.stdout.readline()
+            while line and not line.startswith("RESULT "):
+                line = p.stdout.readline()
+            r = json.loads(line[len("RESULT "):]) if line else {"n": n, "routed": None}
+            r["times"] = times[n]
+            r["pinned"] = pinned[n]
+            results[n] = r
+        return results
+    finally:
+        for p in procs.values():
+            try:
+                p.stdin.close()
+            except Exception:
+                pass
+            try:
+                p.wait(timeout=60)
+            except Exception:
+                p.kill()
 
 
 def main() -> None:
@@ -106,27 +212,51 @@ def main() -> None:
                     help="print results only; don't write BENCH/BASELINE.md")
     ap.add_argument("--no-pin", action="store_true",
                     help="skip taskset CPU pinning (measure the unpinned legacy way)")
+    ap.add_argument("--interleave", action="store_true",
+                    help="keep both level workers alive and alternate reps "
+                         "ABAB (only one executes at a time) so episodic host "
+                         "slowdowns contaminate both levels symmetrically "
+                         "instead of poisoning one level's whole series")
+    ap.add_argument("--narrow", action="store_true",
+                    help="payload-decomposition experiment: identical rows and "
+                         "plan, but the tokens array truncated to 1 element "
+                         "(~zero payload bytes). Parse/enrich/route never "
+                         "compute over tokens content — it is pure carried "
+                         "payload — so this isolates how the PLAN scales from "
+                         "how moving payload bytes through one DRAM domain "
+                         "scales. n_tok (used by the histogram) is untouched.")
     args = ap.parse_args()
 
-    input_dir = os.path.join(SCRATCH, f"bench_seq_{args.rows}.parquet")
+    suffix = "_narrow" if args.narrow else ""
+    input_dir = os.path.join(SCRATCH, f"bench_seq_{args.rows}{suffix}.parquet")
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        shrink = (
+            ".withColumn('tokens', F.slice(F.col('tokens'), 1, 1))" if args.narrow else ""
+        )
         gen = (
             "import sys; sys.path.insert(0, {repo!r})\n"
             "from hypertrace_ingester_spark.session import get_spark\n"
             "from hypertrace_ingester_spark import datagen\n"
+            "from pyspark.sql import functions as F\n"
             "spark = get_spark(master='local[32]')\n"
-            "datagen.generate_sequences(spark, {rows}, partitions=128)"
+            "datagen.generate_sequences(spark, {rows}, partitions=128){shrink}"
             ".write.mode('overwrite').parquet({inp!r})\n"
-        ).format(repo=REPO, rows=args.rows, inp=input_dir)
+        ).format(repo=REPO, rows=args.rows, inp=input_dir, shrink=shrink)
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600)
 
-    results = {}
+    if args.interleave:
+        results = run_interleaved(args.mode, args.levels, input_dir, args.reps,
+                                  pin=not args.no_pin, narrow=args.narrow)
+    else:
+        results = {}
+        for n in args.levels:
+            results[n] = run_level(args.mode, n, input_dir, args.reps,
+                                   pin=not args.no_pin, narrow=args.narrow)
     for n in args.levels:
-        r = run_level(args.mode, n, input_dir, args.reps, pin=not args.no_pin)
+        r = results[n]
         r["median_sec"] = statistics.median(r["times"])
         r["min_sec"] = min(r["times"])
         r["throughput"] = args.rows / r["median_sec"]
-        results[n] = r
         print(f"{args.mode}={n}: median {r['median_sec']:.1f}s min {r['min_sec']:.1f}s "
               f"({r['throughput']:.0f} seq/s), times={[round(t,1) for t in r['times']]}")
 
@@ -134,7 +264,11 @@ def main() -> None:
     speedup = results[n4]["throughput"] / results[n]["throughput"]
     efficiency = speedup / (n4 / n)
     print(f"speedup {speedup:.2f}x over {n4//n}x {args.mode} -> scaling efficiency {efficiency:.2f}")
+    min_speedup = (args.rows / results[n4]["min_sec"]) / (args.rows / results[n]["min_sec"])
     print("RESULT_JSON " + json.dumps({"mode": args.mode, "rows": args.rows,
+                                       "narrow": args.narrow,
+                                       "interleaved": args.interleave,
+                                       "min_based_efficiency": min_speedup / (n4 / n),
                                        "pinned": all(r["pinned"] for r in results.values()),
                                        "levels": args.levels,
                                        "results": {str(k): v for k, v in results.items()},
