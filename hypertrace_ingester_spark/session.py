@@ -22,13 +22,23 @@ def _driver_java_opts() -> str:
     override = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
     if override is not None:
         return override
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     try:
         heap_gb = int(mem.lower().rstrip("gb"))
     except ValueError:
         heap_gb = 8
     young_gb = max(heap_gb // 3, 1)
-    return f"-XX:+UseParallelGC -Xmn{young_gb}g"
+    # -Xms pinned to -Xmx: this sandbox's hypervisor episodically collapses
+    # page-fault bandwidth (measured 1.7 GB/s → 144 MB/s for minutes at a
+    # time; a 48 GB AlwaysPreTouch took 7+ minutes mid-episode). With the
+    # default growable heap, ParallelGC's adaptive sizing grows/shrinks the
+    # committed heap across jobs and every regrowth re-faults pages — one
+    # measured series ran 85/176/33/19 s for IDENTICAL back-to-back jobs.
+    # Pinning Xms=Xmx faults each page once and never releases it: the same
+    # job series stabilizes to ±12%. The heap itself is sized modest (16 GB
+    # default, env-overridable) to keep the fault surface small; at bench
+    # scale the pipeline never spills at 16 GB.
+    return f"-XX:+UseParallelGC -Xmn{young_gb}g -Xms{heap_gb}g"
 
 
 def get_spark(
@@ -67,7 +77,7 @@ def get_spark(
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # Broadcast threshold generous: every enrichment dim is a small table.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The parse stage's regex-heavy projections + 3 chained broadcast
