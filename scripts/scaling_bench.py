@@ -81,6 +81,16 @@ def one_rep():
     shutil.rmtree(out, ignore_errors=True)
     return dt, m
 
+def spin_probe():
+    # single-thread spin speed: <4 Mops on this box = degraded host window
+    # (hypervisor steal / fault-bandwidth collapse; BENCH/BASELINE.md
+    # "Measurement hygiene" #3) — lets a slow rep be attributed in the JSON
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 0.2:
+        x += 1
+    return round(x / (time.time() - t0) / 1e6, 2)
+
 if interleaved:
     # driven over stdin by the parent: one rep per RUN line, so reps
     # alternate between parallelism levels (ABAB) — an episodic host
@@ -94,15 +104,16 @@ if interleaved:
             break
         dt, m = one_rep()
         routed = m["total_routed_rows"]
-        print(f"REP {{dt:.3f}}", flush=True)
+        print(f"REP {{dt:.3f}} {{spin_probe()}}", flush=True)
     print("RESULT " + json.dumps({{"n": n, "routed": routed}}), flush=True)
 else:
-    times = []
+    times, spins = [], []
     for i in range(reps + 1):  # rep 0 = untimed warmup
         dt, m = one_rep()
         if i > 0:
             times.append(dt)
-    print("RESULT " + json.dumps({{"n": n, "times": times,
+            spins.append(spin_probe())
+    print("RESULT " + json.dumps({{"n": n, "times": times, "spins": spins,
                                    "routed": m["total_routed_rows"]}}))
 """
 
@@ -162,6 +173,7 @@ def run_interleaved(mode: str, levels: list, input_dir: str, reps: int,
             if not line:
                 raise RuntimeError(f"worker {n} died before READY")
         times = {n: [] for n in levels}
+        spins = {n: [] for n in levels}
         for rep in range(reps + 1):  # rep 0 = untimed warmup (both levels)
             for n in levels:
                 p = procs[n]
@@ -173,8 +185,11 @@ def run_interleaved(mode: str, levels: list, input_dir: str, reps: int,
                 if not line:
                     raise RuntimeError(f"worker {n} died mid-rep")
                 if rep > 0:
-                    times[n].append(float(line.split()[1]))
-                    print(f"  rep {rep} {mode}={n}: {times[n][-1]:.1f}s", flush=True)
+                    parts = line.split()
+                    times[n].append(float(parts[1]))
+                    spins[n].append(float(parts[2]) if len(parts) > 2 else -1.0)
+                    print(f"  rep {rep} {mode}={n}: {times[n][-1]:.1f}s "
+                          f"(spin {spins[n][-1]})", flush=True)
         results = {}
         for n in levels:
             p = procs[n]
@@ -185,6 +200,7 @@ def run_interleaved(mode: str, levels: list, input_dir: str, reps: int,
                 line = p.stdout.readline()
             r = json.loads(line[len("RESULT "):]) if line else {"n": n, "routed": None}
             r["times"] = times[n]
+            r["spins"] = spins[n]
             r["pinned"] = pinned[n]
             results[n] = r
         return results
