@@ -46,7 +46,7 @@ HEADLINE = [
     "d_minhash_lsh",
     "d_simhash",
     "s_knn_bruteforce",
-    "s_ann_lsh",
+    "d_embed_near_dup",
     "s_ann_ivf",
     "g_api_nodes",
     "v_service_call_view",

@@ -357,3 +357,112 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup-by-embedding, driver mandate)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    block_cols: list,
+    threshold: float | None = 0.9,
+    top_per_block: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs within explicit blocks.
+
+    The dedup-by-embedding analog of ``dedup.ngram_jaccard_pairs``: an
+    all-pairs cosine is computed only WITHIN each block (metadata key,
+    shard, or a coarse quantization cell), never across the corpus — the
+    self-join shuffles once keyed on ``block_cols`` and per-block work is
+    bounded by the block size, so the plan survives a 100 TB corpus as
+    long as blocks are bounded (for unblocked corpora use
+    ``embedding_near_dups_lsh``). Keep ``threshold`` for fixed-cutoff
+    dedup, or ``top_per_block`` for "the k most-similar candidate pairs
+    per block" reporting (never empty, rank-deterministic).
+
+    Output: block cols + (id_a < id_b, cos_sim[, rank]). Cosine is an
+    index-ordered double fold (``_dot``) — bit-identical to DuckDB's
+    ``list_dot_product`` on the same input, so results are exactly
+    oracle-comparable (same property the s_knn_bruteforce oracle relies
+    on)."""
+    v = vectors.select(
+        *block_cols,
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    ).withColumn("_nrm", _norm(F.col("_e")))
+    a, b = v.alias("a"), v.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a._id") < F.col("b._id"))
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        (_dot(F.col("a._e"), F.col("b._e")) / (F.col("a._nrm") * F.col("b._nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    if top_per_block is not None:
+        w = Window.partitionBy(*block_cols).orderBy(
+            F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")
+        )
+        pairs = (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_per_block)
+        )
+    return pairs
+
+
+def embedding_near_dups_lsh(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = ANN_BITS,
+    tables: int = 4,
+    max_bucket_size: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs for UNBLOCKED corpora: candidate
+    pairs share a hyperplane-LSH bucket in at least one of ``tables``
+    independent tables; each candidate is verified with the exact cosine
+    and kept if ≥ ``threshold``. Same recall story as ``ann_topk``
+    (multi-table union rescues near-uniform embeddings; candidates missed
+    by every table are lost — measured in tests against the blocked-exact
+    reference). Degenerate buckets beyond ``max_bucket_size`` are dropped
+    with the same rationale as ``dedup.lsh_candidate_pairs``: a bucket of
+    m rows costs m² candidate pairs, and a bucket that large means the
+    hash carries no information for those rows anyway. The corpus
+    shuffles once keyed by bucket (×``tables``); never all-pairs."""
+    sigs = lsh_signatures(vectors, dim, bits, id_col, vec_col, tables=tables)
+    counts = sigs.groupBy("bucket").count().filter(F.col("count") <= max_bucket_size)
+    sigs = sigs.join(counts.select("bucket"), on="bucket")
+    a = sigs.select(
+        "bucket", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_ea"), F.col("vnorm").alias("_na"),
+    ).alias("a")
+    b = sigs.select(
+        "bucket", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_eb"), F.col("vnorm").alias("_nb"),
+    ).alias("b")
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ea", "_eb", "_na", "_nb")
+    )
+    if tables > 1:
+        # the same pair can collide in several tables — dedup candidates
+        # BEFORE the (cheap) cosine so each pair is verified once
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.withColumn(
+            "cos_sim", _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos_sim")
+    )

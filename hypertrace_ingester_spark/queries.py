@@ -863,12 +863,52 @@ def s_knn_bruteforce(spark, sf_dir):
 
 
 @register(
-    "s_ann_lsh",
-    None,  # seeded-numpy hyperplanes aren't reproducible in DuckDB
-    doc="LSH-bucketed approximate top-k (random hyperplanes via one numpy "
-        "matmul per Arrow batch) — the 100 TB scale path; rows-only check.",
+    "d_embed_near_dup",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (
+      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    t AS (
+      SELECT label, id_a, id_b, cos_sim,
+             row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, id_a, id_b) AS rank
+      FROM p WHERE cos_sim >= 0.0
+    )
+    SELECT label, id_a, id_b, CAST(rank AS BIGINT) AS rank,
+           CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS cos_1e6
+    FROM t WHERE rank <= 5
+    """,
+    doc="Embedding-cosine near-dup pairs (driver-mandate dedup family): "
+        "exact cosine within label blocks, top-5 candidate pairs per block "
+        "— the blocked-exact reference for embedding_near_dups_lsh, whose "
+        "LSH-bucketed recall is asserted in tests/test_similarity_ivf.py. "
+        "Cosine doubles are bit-identical across engines (index-ordered "
+        "fold vs list_dot_product), so the value hash covers the cosines "
+        "themselves (micro-cosine bigint).",
 )
+def d_embed_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.embedding_near_dups(
+        emb, block_cols=["label"], threshold=0.0, top_per_block=5
+    )
+    return out.select(
+        "label", "id_a", "id_b",
+        F.col("rank").cast("long").alias("rank"),
+        F.floor(F.col("cos_sim") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("cos_1e6"),
+    )
+
+
 def s_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k — out of the 50-entry driver
+    catalog (its slot carries d_embed_near_dup, which exercises the same
+    bucketing machinery under a FULL value-hash oracle). The top-k path's
+    evidence: recall tests vs brute force (tests/test_similarity_ivf.py,
+    incl. multi-table dominance) and the measured recall@5 table bench.py
+    reports per run."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return sim.ann_topk(emb, queries, dim=64, k=5, bits=8)

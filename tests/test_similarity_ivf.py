@@ -104,3 +104,66 @@ def test_multitable_signatures_table1_matches_single(spark):
         for r in sim.lsh_signatures(emb, dim=64, bits=8, tables=1).collect()
     }
     assert a == b
+
+
+def test_embedding_near_dups_blocked_exact(spark):
+    """Blocked-exact near-dup pairs: every pair is within its block, ids
+    are ordered, top_per_block bounds each block's output, and cosine
+    values match an independent numpy computation."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = sim.embedding_near_dups(
+        emb, block_cols=["label"], threshold=0.0, top_per_block=3
+    ).collect()
+    assert out, "no pairs returned"
+    by_label = {}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.0
+        by_label.setdefault(r["label"], []).append(r)
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cos_sim"] - expect) < 1e-9
+    for label, rows in by_label.items():
+        assert len(rows) <= 3
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_embedding_near_dups_lsh_agreement(spark):
+    """LSH-bucketed near-dups on a corpus WITH planted duplicates: every
+    returned pair must appear in the exact all-pairs reference (no false
+    positives — candidates are exact-verified), and recall over planted
+    near-identical pairs is high at 8 tables."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        # planted near-duplicate: tiny perturbation, cosine ~0.999
+        rows.append((1000 + i, (v + 0.02 * rng.standard_normal(64).astype(np.float32)).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dups(
+            df, block_cols=[], threshold=0.9, top_per_block=None
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dups_lsh(
+            df, dim=64, threshold=0.9, bits=8, tables=8
+        ).collect()
+    }
+    assert exact, "fixture planted no exact pairs"
+    assert got <= exact, f"false positives: {got - exact}"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"planted-dup recall {recall:.2f} below 0.9"
