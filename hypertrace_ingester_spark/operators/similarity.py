@@ -453,16 +453,19 @@ def embedding_near_dups_lsh(
     pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ea", "_eb", "_na", "_nb")
-    )
-    if tables > 1:
-        # the same pair can collide in several tables — dedup candidates
-        # BEFORE the (cheap) cosine so each pair is verified once
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    return (
-        pairs.withColumn(
+        .withColumn(
             "cos_sim", _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
         )
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cos_sim")
     )
+    if tables > 1:
+        # the same pair can collide in several tables; verify FIRST (the
+        # cosine is map-side column math on rows already co-located by the
+        # bucket join) and dedup the narrow (id_a, id_b, cos) projection
+        # AFTER the threshold filter — the dedup shuffle then carries three
+        # scalars per surviving pair instead of two embedding arrays per
+        # candidate (duplicate verification costs FLOPs; shipping vectors
+        # costs the bandwidth this box's ceiling table is about)
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
