@@ -137,6 +137,11 @@ def main() -> None:
             x += 1
         return round(x / (time.time() - t0) / 1e6, 2)
 
+    # elapsed-time guard: during a degraded-host regime each run can take
+    # 3-10x its healthy wall; cap the measured series (keeping >=2 runs)
+    # so the whole bench stays within any external runtime budget instead
+    # of being killed mid-way and reporting nothing
+    bench_t0 = time.time()
     pipeline_runs = []
     run_spins = []
     for i in range(6):
@@ -148,6 +153,8 @@ def main() -> None:
         if i > 0:
             pipeline_runs.append(dt)
             run_spins.append(spin_probe())
+        if len(pipeline_runs) >= 2 and time.time() - bench_t0 > 300:
+            break
     pipeline_runs.sort()
     pipeline_sec = pipeline_runs[0]
     pipeline_median = pipeline_runs[len(pipeline_runs) // 2]
@@ -167,7 +174,8 @@ def main() -> None:
     }
     # two passes, per-query min: a single episodic host stall otherwise
     # poisons whichever queries it overlaps (one-sided noise, same
-    # rationale as the pipeline best-run)
+    # rationale as the pipeline best-run). The second pass is skipped when
+    # the degraded-host guard has already spent the time budget.
     for _pass in range(2):
         for name in HEADLINE:
             qd = REGISTRY[name]
@@ -176,6 +184,8 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             if name not in query_secs or dt < query_secs[name]:
                 query_secs[name] = dt
+        if time.time() - bench_t0 > 420:
+            break
 
     # --- ANN recall vs the exact baseline (same sf_dir embeddings) -------
     # recall@5 over the 20-query fixture: each approximate path's neighbor
