@@ -285,3 +285,84 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ).otherwise(0)
         fp = term if fp is None else fp + term
     return voted.select(id_col, fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Pairs → clusters → canonical docs (the dedup endgame)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc in a duplicate
+    cluster gets the cluster's MINIMUM doc id as ``cluster_id``.
+
+    This is the step after any pair generator (``minhash_near_dups``,
+    ``ngram_jaccard_pairs``, ``similarity.embedding_near_dups*``): near-dup
+    is not transitive, but dedup policy treats it as if it were (keep one
+    doc per connected component) — the standard web-scale corpus-dedup
+    shape. Iterative min-label propagation: each round every node adopts
+    the smallest label among itself and its neighbors; rounds = graph
+    diameter in the worst case, 2-4 in practice for near-dup clusters
+    (chains of borderline pairs are rare). Each round is one join + one
+    partial-agg min keyed on doc id — no driver-side graph, scales with the
+    pair count. The driver loop runs one small count() action per round to
+    test the fixpoint (log-diameter rounds, not data-sized work).
+
+    Docs with no duplicate partner don't appear in ``pairs`` and so don't
+    appear here; callers keep them all (see ``keep_canonical``)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    # initial label: min over self and direct neighbors
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
+    )
+    for _ in range(max_iters):
+        # propagate: neighbor labels via one join keyed on the edge dst
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min.withColumnRenamed("src", "id"), on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate the per-round lineage
+        changed = new_labels.filter(F.col("new_label") < F.col("old_label")).count()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deduplicated corpus: keep each cluster's canonical doc (minimum id,
+    i.e. ``cluster_id`` itself) plus every doc that was in no cluster.
+    One left join keyed on the doc id; no shuffle of doc payloads beyond
+    it (clusters is id→id, AQE broadcasts it while small)."""
+    marked = docs.join(
+        clusters.withColumnRenamed("doc_id", id_col), on=id_col, how="left"
+    )
+    return marked.filter(
+        F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
+    ).drop("cluster_id")

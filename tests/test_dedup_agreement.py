@@ -69,3 +69,63 @@ def test_short_docs_have_no_shingles_and_do_not_crash(spark):
     # near-dup pipeline: short docs drop out of signatures, job completes
     pairs = dd.minhash_near_dups(docs, threshold=0.1).collect()
     assert isinstance(pairs, list)
+
+
+def test_duplicate_clusters_match_union_find(spark):
+    """Min-label propagation equals a reference union-find on a random
+    pair set (chains force multi-round propagation)."""
+    import random
+
+    import pandas as pd
+
+    from hypertrace_ingester_spark.operators import dedup as dd
+
+    rng = random.Random(11)
+    # 3 deliberate chains (worst case for propagation depth) + random noise
+    pairs = [(i, i + 1) for i in range(0, 9)]          # chain 0..9
+    pairs += [(100 + i, 100 + i + 1) for i in range(0, 5)]
+    pairs += [(200, 201), (202, 203), (201, 202)]       # merged via middle
+    pairs += [(rng.randint(300, 340), rng.randint(300, 340)) for _ in range(25)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    # path-compress fully
+    expect = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.duplicate_clusters(df).collect()
+    }
+    assert got == expect
+
+
+def test_keep_canonical(spark):
+    import pandas as pd
+
+    from hypertrace_ingester_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": list("abcde")})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [2, 4], "doc_b": [3, 2]})
+    )
+    clusters = dd.duplicate_clusters(pairs)
+    kept = sorted(r["doc_id"] for r in dd.keep_canonical(docs, clusters).collect())
+    # cluster {2,3,4} -> keep 2; singletons 1 and 5 kept
+    assert kept == [1, 2, 5]
