@@ -160,9 +160,13 @@ def run_interleaved(mode: str, levels: list, input_dir: str, reps: int,
     procs, pinned = {}, {}
     for n in levels:
         cmd, pn = _level_cmd(mode, n, input_dir, reps, pin, narrow, interleaved=True)
+        # stderr to a file, not DEVNULL: a worker that dies mid-rep (one
+        # did, silently, during a host-stall episode) must leave its
+        # traceback somewhere findable
+        errf = open(os.path.join(tempfile.gettempdir(), f"scale_worker_{mode}_{n}.err"), "w")
         procs[n] = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+            stderr=errf, text=True, bufsize=1,
         )
         pinned[n] = pn
     try:
