@@ -439,7 +439,17 @@ def embedding_near_dups_lsh(
     m rows costs m² candidate pairs, and a bucket that large means the
     hash carries no information for those rows anyway. The corpus
     shuffles once keyed by bucket (×``tables``); never all-pairs."""
-    sigs = lsh_signatures(vectors, dim, bits, id_col, vec_col, tables=tables)
+    # materialize the signatures ONCE: three consumers read this frame (the
+    # bucket-size counts and both sides of the self-join), and without the
+    # checkpoint each re-runs the mapInPandas signer — parquet scan + Python
+    # worker + matmul, the most expensive stage of the job, ×3 (round-3
+    # ADVICE). localCheckpoint (not cache) for the same reason as
+    # dedup.lsh_candidate_pairs: blocks are ContextCleaner-collected when
+    # the plan is GC'd, so repeated catalog/bench invocations don't leak
+    # executor storage.
+    sigs = lsh_signatures(
+        vectors, dim, bits, id_col, vec_col, tables=tables
+    ).localCheckpoint(eager=False)
     counts = sigs.groupBy("bucket").count().filter(F.col("count") <= max_bucket_size)
     sigs = sigs.join(counts.select("bucket"), on="bucket")
     a = sigs.select(

@@ -10,6 +10,7 @@ rather than the 200 default.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -18,16 +19,35 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _parse_mem_mb(mem: str) -> int:
+    """Resolve a JVM-style memory string ('16g', '512m', '16384m', '2048k',
+    bare bytes) to whole megabytes. Raises on unparseable input instead of
+    silently guessing — a guessed -Xms larger than spark.driver.memory's
+    -Xmx would refuse to start the JVM, and a smaller one silently drops
+    the Xms=Xmx variance pin (round-3 ADVICE)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", mem.lower())
+    if not m:
+        raise ValueError(
+            f"unparseable memory size {mem!r} for SPARK_GRAFT_DRIVER_MEM "
+            "(expected e.g. '16g', '512m')"
+        )
+    n, unit = int(m.group(1)), m.group(2)
+    scale_mb = {"": 1 / (1 << 20), "k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    mb = int(n * scale_mb[unit])
+    if mb < 1:
+        raise ValueError(f"memory size {mem!r} is below 1 MB")
+    return mb
+
+
 def _driver_java_opts() -> str:
     override = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
     if override is not None:
         return override
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-    try:
-        heap_gb = int(mem.lower().rstrip("gb"))
-    except ValueError:
-        heap_gb = 8
-    young_gb = max(heap_gb // 3, 1)
+    # -Xms/-Xmn derive from the SAME resolved byte count spark.driver.memory
+    # uses (get_spark passes the identical env string), so the pin holds for
+    # any unit suffix ('512m', '16384m', ...), not just plain gigabytes.
+    heap_mb = _parse_mem_mb(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    young_mb = max(heap_mb // 3, 64)
     # -Xms pinned to -Xmx: this sandbox's hypervisor episodically collapses
     # page-fault bandwidth (measured 1.7 GB/s → 144 MB/s for minutes at a
     # time; a 48 GB AlwaysPreTouch took 7+ minutes mid-episode). With the
@@ -38,7 +58,7 @@ def _driver_java_opts() -> str:
     # job series stabilizes to ±12%. The heap itself is sized modest (16 GB
     # default, env-overridable) to keep the fault surface small; at bench
     # scale the pipeline never spills at 16 GB.
-    return f"-XX:+UseParallelGC -Xmn{young_gb}g -Xms{heap_gb}g"
+    return f"-XX:+UseParallelGC -Xmn{young_mb}m -Xms{heap_mb}m"
 
 
 def get_spark(

@@ -114,6 +114,66 @@ def test_duplicate_clusters_match_union_find(spark):
     assert got == expect
 
 
+def test_duplicate_clusters_pathological_chain_log_rounds(spark):
+    """Round-3 VERDICT #5 stress: a 10k-edge PATH graph (diameter 10k —
+    the worst case for plain min-label propagation, which would need
+    diameter rounds and silently time out at max_iters=20). Pointer
+    doubling must converge in ~log2(diameter) rounds with every node
+    labeled by the component minimum."""
+    import math
+
+    import pandas as pd
+
+    from hypertrace_ingester_spark.operators import dedup as dd
+
+    n = 10_001  # nodes 0..10000 in one chain: 10k pairs
+    pairs = pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n)})
+    labels, rounds, converged = dd.duplicate_clusters_stats(
+        spark.createDataFrame(pairs)
+    )
+    assert converged, "10k path graph must converge within max_iters"
+    # log2(10000) ~ 13.3; allow slack for the fixpoint-detection round
+    assert rounds <= math.ceil(math.log2(n)) + 2, rounds
+    got = labels.collect()
+    assert len(got) == n
+    assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_duplicate_clusters_strict_raises_on_non_convergence(spark):
+    import pandas as pd
+
+    import pytest
+
+    from hypertrace_ingester_spark.operators import dedup as dd
+
+    chain = pd.DataFrame({"doc_a": range(0, 99), "doc_b": range(1, 100)})
+    df = spark.createDataFrame(chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.duplicate_clusters(df, max_iters=2)
+    # non-strict mode returns the partial labels instead
+    partial = dd.duplicate_clusters(df, max_iters=2, strict=False)
+    assert partial.count() == 100
+
+
+def test_keep_canonical_docs_with_preexisting_cluster_id_column(spark):
+    """Round-3 ADVICE: a docs frame that already carries a cluster_id
+    column (a prior dedup pass) must not alias-collide with the join."""
+    import pandas as pd
+
+    from hypertrace_ingester_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": list("abc"), "cluster_id": [9, 9, 9]}
+        )
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"doc_a": [1], "doc_b": [3]}))
+    kept = dd.keep_canonical(docs, dd.duplicate_clusters(pairs))
+    rows = sorted((r["doc_id"], r["cluster_id"]) for r in kept.collect())
+    # doc 3 deduped away; the caller's own cluster_id column survives intact
+    assert rows == [(1, 9), (2, 9)]
+
+
 def test_keep_canonical(spark):
     import pandas as pd
 

@@ -157,3 +157,22 @@ def test_value_coercion_mirrors_reference_cases(spark):
     assert row["ts_epoch"] == 1604339469114
     assert row["ts_iso"] == 1604339469114  # same instant via ISO-8601
     assert row["ts_junk"] is None
+
+
+def test_parse_mem_mb_units():
+    """Round-3 ADVICE: non-plain-gigabyte driver-mem strings must resolve to
+    the same byte count for -Xms and spark.driver.memory (not fall back to a
+    guessed 8g), and junk must raise instead of silently unpinning Xms."""
+    import pytest
+
+    from hypertrace_ingester_spark.session import _parse_mem_mb
+
+    assert _parse_mem_mb("16g") == 16 * 1024
+    assert _parse_mem_mb("16384m") == 16 * 1024
+    assert _parse_mem_mb("512m") == 512
+    assert _parse_mem_mb("512MB") == 512
+    assert _parse_mem_mb("2097152k") == 2048
+    with pytest.raises(ValueError):
+        _parse_mem_mb("lots")
+    with pytest.raises(ValueError):
+        _parse_mem_mb("512kb")  # below 1 MB
