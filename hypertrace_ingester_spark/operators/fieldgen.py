@@ -193,10 +193,27 @@ def http_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "http_") ->
         & scheme_tag.isNotNull() & target_tag.isNotNull() & server_host.isNotNull(),
         _built(server_host, host_port),
     )
-    url_eff = F.when(url_raw.isNotNull() & _is_absolute(url_raw), url_raw).otherwise(
-        F.coalesce(composed, url_raw)
+    url_eff_expr = F.when(
+        url_raw.isNotNull() & _is_absolute(url_raw), url_raw
+    ).otherwise(F.coalesce(composed, url_raw))
+    # Stage the effective/absolute URL as real projected columns: six
+    # downstream expressions (url, scheme, host, path ×2, query) reference
+    # them, and inlined they'd each carry a copy of the whole net.peer
+    # ladder + validity regex — Catalyst's CollapseProject keeps a
+    # non-cheap expression staged when it's referenced more than once, so
+    # this makes the sharing explicit instead of relying on codegen
+    # subexpression elimination (which the >8KB-method fallback can lose).
+    df = df.select(
+        "*", url_eff_expr.alias("_ht_url_eff")
     )
-    url_final = F.when(url_eff.isNotNull() & _is_absolute(url_eff), url_eff)
+    url_eff = F.col("_ht_url_eff")
+    df = df.select(
+        "*",
+        F.when(url_eff.isNotNull() & _is_absolute(url_eff), url_eff).alias(
+            "_ht_url_final"
+        ),
+    )
+    url_final = F.col("_ht_url_final")
 
     # Path: priority keys (must start with '/'), normalized (query stripped,
     # trailing slash removed); else derived from the url value.
@@ -280,7 +297,7 @@ def http_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "http_") ->
         request_params.alias(p + "request_params"),
         cookie_list("http.request.cookie.").alias(p + "request_cookies"),
         cookie_list("http.response.cookie.").alias(p + "response_cookies"),
-    )
+    ).drop("_ht_url_eff", "_ht_url_final")
 
 
 def grpc_fields(df: DataFrame, tags_col: str = "tags", prefix: str = "grpc_") -> DataFrame:
