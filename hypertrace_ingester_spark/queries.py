@@ -816,10 +816,33 @@ def d_ngram_jaccard(spark, sf_dir):
 
 @register(
     "d_minhash_lsh",
-    None,  # xxhash64-based signatures aren't reproducible in DuckDB
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      WHERE len(ws) >= 3
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             floor(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+                   (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+                   * 10000 + 0.5) / 10000 AS jaccard
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.3
+    """,
     doc="MinHash+LSH near-dup pairs (64 perms, 16 bands) verified with "
-        "exact shingle Jaccard — rows-only check; the exact-Jaccard oracle "
-        "counterpart is d_ngram_jaccard.",
+        "exact shingle Jaccard inside the operator, so the output is "
+        "hash-independent wherever LSH recall is 1.0. FULL oracle (round-4): "
+        "the oracle restates the output as the exact all-pairs Jaccard "
+        "pair set at the same threshold — valid because the test corpus's "
+        "near-dup pairs are bimodal (25 pairs at j>=0.9, rest at j<=0.07 at "
+        "sf0.01), far above the 16-band/4-row S-curve knee where the "
+        "deterministic xxhash64 banding misses with p~(1-j^4)^16 < 4e-8; "
+        "equality of the two sets is what the gate now checks every round. "
+        "The blocked exact counterpart is d_ngram_jaccard.",
 )
 def d_minhash_lsh(spark, sf_dir):
     return dd.minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.3)
