@@ -28,7 +28,7 @@ SESSION_GAP_MS = 30 * 60 * 1000  # analog of span.groupby.session.window.interva
 
 def sessionize(
     df: DataFrame,
-    group_col: str = "user_id",
+    group_col: str | list[str] = "user_id",
     ts_ms_col: str = "ts_ms",
     tiebreak_col: str = "event_id",
     gap_ms: int = SESSION_GAP_MS,
@@ -39,9 +39,13 @@ def sessionize(
     Exactly the reference's inactivity-gap semantics
     (RawSpansProcessor.java:186-247) expressed with lag + running sum —
     the batch-equivalent of ``session_window`` (which we use in the
-    streaming path, see streaming/jobs.py).
+    streaming path, see streaming/jobs.py). ``group_col`` may be a composite
+    key (the reference keys state by (tenant, trace_id)); when the input is
+    a table bucketed on that key the window needs no Exchange
+    (sources/bucketing.py, P17).
     """
-    w = Window.partitionBy(group_col).orderBy(ts_ms_col, tiebreak_col)
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*group_cols).orderBy(ts_ms_col, tiebreak_col)
     prev = F.lag(ts_ms_col).over(w)
     new_session = F.when(
         prev.isNull() | ((F.col(ts_ms_col) - prev) > gap_ms), F.lit(1)
@@ -56,14 +60,15 @@ def sessionize(
 
 def session_summary(
     df: DataFrame,
-    group_col: str = "user_id",
+    group_col: str | list[str] = "user_id",
     ts_ms_col: str = "ts_ms",
 ) -> DataFrame:
     """Close each session into one row — the emit side of the punctuator
     (TraceEmitPunctuator.java:116-196): bounded input ⇒ every window is
     closed, so emit is a plain aggregate."""
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
     return (
-        df.groupBy(group_col, "session_idx")
+        df.groupBy(*group_cols, "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min(ts_ms_col).alias("session_start_ms"),

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from .. import datagen
 from ..operators import aggregate as agg_ops
 from ..operators import enrich as enrich_ops
+from ..operators import group as group_ops
 from ..operators import parse as parse_ops
 from ..operators import route as route_ops
+from ..sources import bucketing
 
 
 @dataclass
@@ -39,11 +41,38 @@ class PipelineConfig:
     salt_buckets: int | None = None
     metric_window_ms: int = agg_ops.METRIC_WINDOW_MS
     checkpoint_parse: bool = False  # stage-boundary checkpoint for resume
+    # write the parse checkpoint as a BUCKETED external table keyed by the
+    # group key (P17 pre-keyed layout: the reference produces raw spans
+    # keyed (tenant, trace_id) so the grouper never re-partitions,
+    # JaegerSpanToAvroRawSpanTransformer.java:58-65). A resumed run's
+    # group/join stages on that key then read the bucket layout with NO
+    # Exchange — at 100 TB the biggest repeated shuffle becomes a one-time
+    # write-side cost. Requires checkpoint_parse.
+    bucket_parse_checkpoint: bool = False
+    parse_buckets: int = 32
+    # opt-in GROUP stage (raw-spans-grouper analog between normalizer and
+    # enrichers in the reference topology, HypertraceIngester.java:79-127):
+    # gap-sessionize surviving rows per (tenant_id, source) — the
+    # (tenant, trace) analog on the sequences domain — and emit one summary
+    # row per closed session to out_dir/sessions.
+    session_stage: bool = False
+    session_gap_ms: int = group_ops.SESSION_GAP_MS
     # persist the parse output when the upstream lineage is expensive to
     # recompute (e.g. a generator); False when input is a columnar table —
     # re-scanning with column pruning beats caching the full token payload.
     cache_parse: bool = False
     use_pandas_grok: bool = False
+
+
+# the pre-keyed layout's key: the (tenant, trace_id) analog for sequences
+PARSE_BUCKET_COLS = ["tenant_id", "source"]
+PARSE_SORT_COLS = ["tenant_id", "source", "ts_ms", "doc_id"]
+
+
+def _parse_ckpt_table(out_dir: str) -> str:
+    import hashlib
+
+    return "parsed_ckpt_" + hashlib.md5(out_dir.encode()).hexdigest()[:10]
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -111,12 +140,33 @@ def run_pipeline(
         # resume re-reads the checkpoint only if one was actually written;
         # a complete-but-uncheckpointed parse stage is recomputed (cheap,
         # deterministic) — the route/aggregate skips below still apply
-        parsed = spark.read.parquet(parse_ckpt)
+        if parse_state.get("bucketed"):
+            # re-declare the bucket layout (the default catalog is
+            # in-memory, so a new session has lost it); the planner then
+            # drops Exchanges on the bucket key for every downstream
+            # group/join — the P17 zero-shuffle resume path
+            schema_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.read.parquet(parse_ckpt).schema
+            )
+            parsed = bucketing.ensure_bucketed_table(
+                spark, _parse_ckpt_table(cfg.out_dir), parse_ckpt, schema_ddl,
+                PARSE_BUCKET_COLS, cfg.parse_buckets, PARSE_SORT_COLS,
+            )
+        else:
+            parsed = spark.read.parquet(parse_ckpt)
     else:
         parsed = parse_ops.parse_sequences(
             sequences, drop_criteria=cfg.drop_criteria, use_pandas_grok=cfg.use_pandas_grok
         )
-        if cfg.checkpoint_parse:
+        if cfg.checkpoint_parse and cfg.bucket_parse_checkpoint:
+            tbl = _parse_ckpt_table(cfg.out_dir)
+            bucketing.write_bucketed(
+                parsed, tbl, PARSE_BUCKET_COLS, cfg.parse_buckets,
+                sort_cols=PARSE_SORT_COLS, path=parse_ckpt,
+            )
+            parsed = spark.table(tbl)
+        elif cfg.checkpoint_parse:
             parsed.write.mode("overwrite").parquet(parse_ckpt)
             parsed = spark.read.parquet(parse_ckpt)
         elif cfg.cache_parse:
@@ -140,6 +190,23 @@ def run_pipeline(
     # fused path: ONE composite broadcast join instead of three — each
     # chained join re-materializes the wide token payload
     enriched_all = enrich_ops.enrich_with_bypass(alive, ctx)
+
+    # ---- GROUP (opt-in; raw-spans-grouper analog) ------------------------
+    n_sessions = None
+    if cfg.session_stage and not (
+        resume and manifest["stages"].get("sessions", {}).get("complete")
+    ):
+        sessions = group_ops.session_summary(
+            group_ops.sessionize(
+                alive, group_col=PARSE_BUCKET_COLS, ts_ms_col="ts_ms",
+                tiebreak_col="doc_id", gap_ms=cfg.session_gap_ms,
+            ),
+            group_col=PARSE_BUCKET_COLS,
+            ts_ms_col="ts_ms",
+        )
+        sessions_dir = os.path.join(cfg.out_dir, "sessions")
+        sessions.write.mode("overwrite").parquet(sessions_dir)
+        n_sessions = spark.read.parquet(sessions_dir).count()
 
     # ---- ROUTE ----------------------------------------------------------
     routed = route_ops.route(enriched_all, route_rules)
@@ -166,7 +233,17 @@ def run_pipeline(
         .groupBy("sink").agg(F.sum("num_rows").alias("n")).collect()
     }
     tenant_counters = [r.asDict() for r in counters.collect()]
-    manifest["stages"]["parse"] = {"complete": True, "checkpoint": cfg.checkpoint_parse}
+    manifest["stages"]["parse"] = {
+        "complete": True,
+        "checkpoint": cfg.checkpoint_parse,
+        "bucketed": bool(cfg.checkpoint_parse and cfg.bucket_parse_checkpoint),
+    }
+    if cfg.session_stage:
+        prior = manifest["stages"].get("sessions", {})
+        manifest["stages"]["sessions"] = {
+            "complete": True,
+            "n_sessions": n_sessions if n_sessions is not None else prior.get("n_sessions"),
+        }
     manifest["stages"]["route"] = {"complete": True, "sink_counts": sink_counts}
     manifest["stages"]["aggregate"] = {"complete": True}
     manifest["tenant_counters"] = tenant_counters

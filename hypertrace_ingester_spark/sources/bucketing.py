@@ -29,18 +29,53 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Materialize ``df`` as a bucketed (+ sorted-within-bucket) parquet
     table in the session catalog. Sorting by the read-side window order
     (e.g. (user_id, ts_ms)) additionally lets window functions skip their
-    Sort at read time."""
-    (
+    Sort at read time. With ``path`` the table is EXTERNAL (files live at
+    the given location, e.g. a pipeline checkpoint dir) — re-register it in
+    a later session with ``ensure_bucketed_table``."""
+    writer = (
         df.write.format("parquet")
         .mode(mode)
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
-        .saveAsTable(table)
     )
+    if path is not None:
+        # a stale catalog entry from an earlier overwrite may pin a
+        # different location/schema; drop before re-creating external
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema_ddl: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Idempotently (re-)register an EXTERNAL bucketed table over files
+    written by ``write_bucketed(..., path=...)`` and return it.
+
+    The default session catalog is in-memory, so a resumed pipeline in a
+    NEW session must re-declare the bucket layout before the planner can
+    drop Exchanges on the bucket key — the DDL records layout metadata
+    only; the parquet files (with bucket ids in their names) are reused
+    as-is."""
+    cluster = ", ".join(bucket_cols)
+    sort = ", ".join(sort_cols or bucket_cols)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({cluster}) SORTED BY ({sort}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

@@ -66,3 +66,60 @@ def test_bucketed_self_join_has_no_shuffle(spark, tables):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_pipeline_bucketed_checkpoint_resume(spark, tmp_path):
+    """Round-4 VERDICT #9: the parse checkpoint written as a bucketed
+    external table (P17 pre-keyed layout) gives a resumed run's group stage
+    a zero-Exchange plan, with manifest counts identical to the plain run
+    and to the resume."""
+    import json
+
+    from hypertrace_ingester_spark import datagen
+    from hypertrace_ingester_spark.operators import group as grp
+    from hypertrace_ingester_spark.plans.pipeline import (
+        PARSE_BUCKET_COLS,
+        PipelineConfig,
+        _manifest_path,
+        _parse_ckpt_table,
+        run_pipeline,
+    )
+
+    seq = datagen.generate_sequences(spark, 4000)
+    out = str(tmp_path / "bucketed")
+    cfg = PipelineConfig(
+        out_dir=out, checkpoint_parse=True, bucket_parse_checkpoint=True,
+        parse_buckets=8, session_stage=True,
+    )
+    m1 = run_pipeline(spark, seq, cfg)
+
+    out_plain = str(tmp_path / "plain")
+    m2 = run_pipeline(spark, seq, PipelineConfig(out_dir=out_plain, session_stage=True))
+    assert m1["stages"]["route"]["sink_counts"] == m2["stages"]["route"]["sink_counts"]
+    assert m1["stages"]["sessions"]["n_sessions"] == m2["stages"]["sessions"]["n_sessions"]
+    assert m1["stages"]["parse"]["bucketed"] is True
+
+    # simulate a NEW session (in-memory catalog lost) + force the session
+    # stage to re-run on resume so it reads the bucketed checkpoint
+    spark.sql(f"DROP TABLE IF EXISTS {_parse_ckpt_table(out)}")
+    with open(_manifest_path(out)) as f:
+        manifest = json.load(f)
+    del manifest["stages"]["sessions"]
+    with open(_manifest_path(out), "w") as f:
+        json.dump(manifest, f)
+
+    m3 = run_pipeline(spark, seq.limit(0), cfg, resume=True)
+    assert m3["stages"]["route"]["sink_counts"] == m1["stages"]["route"]["sink_counts"]
+    assert m3["stages"]["sessions"]["n_sessions"] == m1["stages"]["sessions"]["n_sessions"]
+
+    # the plan property itself: the resumed group stage (window + summary
+    # aggregate keyed on the bucket cols) runs with NO Exchange
+    parsed = spark.table(_parse_ckpt_table(out))
+    sess = grp.session_summary(
+        grp.sessionize(parsed, group_col=PARSE_BUCKET_COLS, ts_ms_col="ts_ms",
+                       tiebreak_col="doc_id"),
+        group_col=PARSE_BUCKET_COLS, ts_ms_col="ts_ms",
+    )
+    plan = sess._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    spark.sql(f"DROP TABLE IF EXISTS {_parse_ckpt_table(out)}")
