@@ -80,6 +80,19 @@ def host_probe(own_jvms: int = 0) -> dict:
     b = stat()
     d = [y - z for z, y in zip(a, b)]
     steal_pct = round(100 * d[7] / max(sum(d), 1), 1)
+    # page-fault bandwidth probe: the root-caused degradation mode is the
+    # hypervisor collapsing fault bandwidth (1.7 GB/s → 5-50 MB/s) while
+    # pure-CPU spin stays healthy — so the spin probe alone can miss it.
+    # Touch every page of a fresh 256 MB anonymous mapping; healthy ≳ 2
+    # GB/s on this box, deep episodes read double-digit MB/s.
+    import mmap
+
+    buf = mmap.mmap(-1, 256 * 1024 * 1024)
+    t0 = time.time()
+    for off in range(0, 256 * 1024 * 1024, 4096):
+        buf[off] = 1
+    fault_gbps = round(0.25 / max(time.time() - t0, 1e-9), 2)
+    buf.close()
     try:
         out = subprocess.run(
             ["ps", "-eo", "pid,cmd"], capture_output=True, text=True, timeout=5
@@ -91,7 +104,7 @@ def host_probe(own_jvms: int = 0) -> dict:
     except Exception:
         stray = -1
     probe = {"steal_pct": steal_pct, "spin_mops": spin_mops,
-             "stray_jvms": max(stray, 0)}
+             "fault_gbps": fault_gbps, "stray_jvms": max(stray, 0)}
     if probe["stray_jvms"] > 0:
         print(f"WARNING: {probe['stray_jvms']} stray Spark JVM(s) running — "
               "numbers below are contaminated", file=sys.stderr)
@@ -99,6 +112,13 @@ def host_probe(own_jvms: int = 0) -> dict:
 
 
 def main() -> None:
+    # bench-process heap default: 24 GB pinned (tests keep the lighter 16 GB
+    # session default). Round-4 A/B, alternating fresh JVMs under an
+    # (admittedly degraded) host window, 4 reps each × 2 rounds:
+    # 16g mins 13.05/13.67 s vs 24g mins 12.87/10.47 s — the larger pinned
+    # young gen (8 GB vs 5.3 GB) cuts GC frequency during the payload write,
+    # and each GC cycle costs DRAM bandwidth this box is short on.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
