@@ -255,3 +255,31 @@ def test_parse_mem_mb_units():
         _parse_mem_mb("lots")
     with pytest.raises(ValueError):
         _parse_mem_mb("512kb")  # below 1 MB
+
+
+def test_parse_user_agents_fuzz_invariants(spark):
+    """The 85-rule UA table must never throw and must keep its structural
+    invariants on adversarial input: family and type are always set
+    together; a version implies a family; bots always classify device
+    Spider; unmatched agents stay fully null (except the generic device
+    rule requires a match)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "Chrome/Safari Mozilla();_5.0 \té中=bot Bot/12.3.4 ...%s$^[](){}|\\*+?"
+    cases = ["", " ", "/", "Chrome/", "Bot", "bot", "a" * 5000]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 120)))
+              for _ in range(250)]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id int, user_agent string"
+    )
+    rows = parse_user_agents(df).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        assert (r["ua_family"] is None) == (r["ua_type"] is None)
+        if r["ua_version"] is not None:
+            assert r["ua_family"] is not None
+        if r["ua_type"] == "bot":
+            assert r["ua_device"] == "Spider"
+        if r["ua_family"] is None:
+            assert r["ua_device"] is None
