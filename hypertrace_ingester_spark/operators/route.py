@@ -69,10 +69,17 @@ def fan_out(routed: DataFrame, out_dir: str,
     # and within 0.7% on size (1699-1711 MB); the token payload is
     # incompressible once v2 delta-packs it, so codec choice is a
     # downstream-storage decision, not a throughput lever.
+    # 4 MB data pages (default 1 MB): token rows are ~1 KB, so 1 MB pages
+    # flush the encoder every ~1k rows; bigger pages amortize page
+    # header/stats/CRC overhead on the widest column. Interleaved A/B at
+    # 1M rows (scripts/write_options_ab.py): base 10.41 s → 9.44 s (-9%).
+    # Disabling page checksums on top was within noise (9.59), so CRCs
+    # stay on.
     (
         df.write.mode(mode)
         .option("parquet.writer.version", "v2")
         .option("parquet.enable.dictionary#tokens.list.element", "false")
+        .option("parquet.page.size", str(4 * 1024 * 1024))
         .partitionBy("sink")
         .parquet(out_dir)
     )

@@ -40,6 +40,11 @@ def write_bucketed(
     writer = (
         df.write.format("parquet")
         .mode(mode)
+        # 4 MB data pages: same writer-side win as the fan-out write
+        # (operators/route.py fan_out docstring; A/B in
+        # scripts/write_options_ab.py) — checkpoints carry the full token
+        # payload too.
+        .option("parquet.page.size", str(4 * 1024 * 1024))
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
     )
