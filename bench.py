@@ -125,6 +125,20 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     probe_pre = host_probe(own_jvms=0)
+    # bounded pre-wait: if the opening probe catches a collapsed page-fault
+    # window (the root-caused degraded-DRAM regime, healthy ~1.7 GB/s,
+    # episodes 0.05-0.2), wait up to 6 minutes for recovery before burning
+    # the measurement budget — round 4 observed a single degraded warmup eat
+    # 250 s of the 300 s pipeline budget, leaving min-of-2 instead of
+    # min-of-5. Episodes often clear in tens of seconds; if this one
+    # doesn't, proceed anyway (the per-run probes make it visible).
+    waited = 0.0
+    while probe_pre.get("fault_gbps", 9.9) < 0.8 and waited < 360:
+        time.sleep(45)
+        waited += 45
+        probe_pre = host_probe(own_jvms=0)
+    if waited:
+        probe_pre["pre_wait_sec"] = waited
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
 
