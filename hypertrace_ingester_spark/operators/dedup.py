@@ -238,8 +238,26 @@ SIMHASH_LANE_BITS = 21  # 3 packed counters per long, safe to 2^21-1 words/doc
 _LANE_MASK = (1 << SIMHASH_LANE_BITS) - 1
 
 
+def md5_word_hash(word: Column) -> Column:
+    """64-bit word hash both Spark and DuckDB can compute bit-identically
+    (the spandom pattern: share the arithmetic, not the engine hash).
+
+    md5 hex → two 32-bit halves → the signed-long whose bit pattern is
+    hi||lo, assembled overflow-safely under Spark 4 ANSI:
+    ``lo + (hi mod 2^31)·2^32`` stays ≤ 2^63-1, then the top bit is applied
+    as a single +(-2^63). DuckDB restatement (used by the d_simhash oracle):
+    ``('0x'||substr(md5(w),1,8))::BIGINT`` etc. — see queries._SIMHASH_SQL.
+    Production simhash keeps the cheaper JVM xxhash64 default; the voting /
+    lane-packing machinery is hash-agnostic (fixture-locked either way)."""
+    hx = F.md5(word)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    signed_top = F.when(hi >= F.lit(1 << 31), F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return lo + F.pmod(hi, F.lit(1 << 31)) * F.lit(1 << 32) + signed_top
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, word_hash=None) -> DataFrame:
     """64-bit SimHash fingerprint per doc, fully JVM-side.
 
     explode(words) → xxhash64 per word → per-bit votes summed in ONE
@@ -255,11 +273,17 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``sum`` columns + one count instead of 64 conditional sums. Lanes cannot
     carry into each other below 2^21 words per doc (documented bound; chunk
     or widen lanes past that). Fingerprints are bit-identical to the
-    unpacked form (fixture-locked in tests/test_dedup_agreement.py)."""
+    unpacked form (fixture-locked in tests/test_dedup_agreement.py).
+
+    ``word_hash`` maps the word column to a 64-bit long; default is the JVM
+    xxhash64 (production). Pass :func:`md5_word_hash` for the oracle-shared
+    hash the d_simhash correctness gate restates in DuckDB."""
+    if word_hash is None:
+        word_hash = F.xxhash64
     n_groups = (bits + 2) // 3
     exploded = widen(docs.select(id_col, F.col(text_col))).select(
         id_col, F.explode(words(text_col)).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", word_hash(F.col("w")))
     packed = []
     for g in range(n_groups):
         term = None

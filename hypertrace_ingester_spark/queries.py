@@ -848,13 +848,51 @@ def d_minhash_lsh(spark, sf_dir):
     return dd.minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.3)
 
 
+# d_simhash full oracle (round 4, spandom pattern: share the arithmetic,
+# not the engine hash). Word hash = dd.md5_word_hash — md5 halves assembled
+# into the signed 64-bit pattern, verified bit-identical across engines —
+# so DuckDB can restate the whole explode → per-bit vote → majority-pack
+# pipeline. Production simhash keeps the cheaper xxhash64 default; the
+# lane-packing/voting machinery under test is hash-agnostic.
+_SH_HI = "('0x'||substr(md5(word),1,8))::BIGINT"
+_SH_LO = "('0x'||substr(md5(word),9,8))::BIGINT"
+_SIMHASH_SQL = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    h AS (
+      SELECT doc_id,
+             ({_SH_LO} + ({_SH_HI} % 2147483648) * 4294967296
+              + CASE WHEN {_SH_HI} >= 2147483648 THEN -9223372036854775808 ELSE 0 END) AS h
+      FROM w
+    ),
+    v AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(64))}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"(CASE WHEN 2*c{b} > n THEN "
+               + ("-9223372036854775808" if b == 63 else str(1 << b))
+               + " ELSE 0 END)"
+               for b in range(64)
+           )} AS BIGINT) AS simhash
+    FROM v
+    """
+
+
 @register(
     "d_simhash",
-    None,  # xxhash64 bit votes aren't reproducible in DuckDB
-    doc="64-bit SimHash fingerprints, JVM-side bit votes — rows-only check.",
+    _SIMHASH_SQL,
+    doc="64-bit SimHash fingerprints (explode → packed-lane bit votes → "
+        "majority). FULL oracle (round 4): word hash is the md5-derived "
+        "64-bit hash both engines compute bit-identically "
+        "(dedup.md5_word_hash), so DuckDB restates the entire vote/majority "
+        "pipeline; production default stays JVM xxhash64 — the machinery is "
+        "hash-agnostic and fixture-locked either way.",
 )
 def d_simhash(spark, sf_dir):
-    return dd.simhash(load_table(spark, sf_dir, "documents"))
+    return dd.simhash(load_table(spark, sf_dir, "documents"),
+                      word_hash=dd.md5_word_hash)
 
 
 @register(

@@ -189,3 +189,42 @@ def test_keep_canonical(spark):
     kept = sorted(r["doc_id"] for r in dd.keep_canonical(docs, clusters).collect())
     # cluster {2,3,4} -> keep 2; singletons 1 and 5 kept
     assert kept == [1, 2, 5]
+
+
+def test_md5_word_hash_matches_duckdb_restatement(spark):
+    """The d_simhash full-oracle premise: dedup.md5_word_hash and the
+    DuckDB expression in queries._SIMHASH_SQL produce the identical signed
+    64-bit value for arbitrary words (negatives + unicode included)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    wordlist = ["hello", "world", "", "a", "Zyx9!", "über", "0", " ", "doc-1"]
+    df = spark.createDataFrame([(w,) for w in wordlist], "word string").select(
+        "word", dd.md5_word_hash(F.col("word")).alias("h")
+    )
+    sp = {r["word"]: r["h"] for r in df.collect()}
+    hi = "('0x'||substr(md5(word),1,8))::BIGINT"
+    lo = "('0x'||substr(md5(word),9,8))::BIGINT"
+    q = (
+        f"SELECT word, ({lo} + ({hi} % 2147483648) * 4294967296 + "
+        f"CASE WHEN {hi} >= 2147483648 THEN -9223372036854775808 ELSE 0 END) AS h "
+        "FROM (SELECT unnest(?) AS word)"
+    )
+    dk = dict(duckdb.connect().execute(q, [wordlist]).fetchall())
+    assert sp == dk
+
+
+def test_simhash_md5_variant_same_machinery_as_default(spark):
+    """The pluggable word hash changes fingerprints (different hash) but not
+    the machinery: same output schema, same doc set, and hamming-identical
+    results when the hash itself is held constant."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    default = dd.simhash(docs)
+    md5v = dd.simhash(docs, word_hash=dd.md5_word_hash)
+    assert default.columns == md5v.columns == ["doc_id", "simhash"]
+    assert default.count() == md5v.count() == 50
+    # explicitly passing the default hash reproduces the default output
+    again = dd.simhash(docs, word_hash=F.xxhash64)
+    assert default.exceptAll(again).count() == 0
