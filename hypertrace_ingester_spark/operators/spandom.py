@@ -283,11 +283,21 @@ def _spans_build(spark, sf_dir: str) -> DataFrame:
         )
         .drop("p_trace_id", "p_rn", "p_span_id", "parent_rn")
     )
-    # child aggregate for exit-boundary detection (children resolve the same
-    # parent_span_id in both engines; broken children attach to nobody)
+    # child aggregate for exit-boundary detection. Children attach to their
+    # parent's per-trace ROW NUMBER (rn div 2 — the binary-heap link), which
+    # is known on `base` BEFORE parent resolution, so the aggregate branch
+    # derives from the single-window `base` instead of from `sp` (round-4
+    # plan fix: the previous sp-derived aggregate duplicated the whole
+    # window + parent-join subtree into the branch and re-executed it; the
+    # grouping is bijective to the old (trace_id, parent_span_id) grouping
+    # because span_id is unique per (trace_id, rn)). Output is unchanged —
+    # the DuckDB oracle (SPANS_SQL `ch`) still states it by parent_span_id.
     ch = (
-        sp.filter(F.col("parent_span_id").isNotNull() & (F.col("parent_span_id") != -1))
-        .groupBy(F.col("trace_id").alias("c_trace_id"), F.col("parent_span_id").alias("c_pid"))
+        base.filter((F.col("rn") > 1) & (F.col("kv") % 11 != 0))
+        .groupBy(
+            F.col("trace_id").alias("c_trace_id"),
+            F.expr("rn div 2").alias("c_prn"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_children"),
             F.max(F.when(F.col("kind") == "ENTRY", 1).otherwise(0)).alias("has_entry_child"),
@@ -295,9 +305,9 @@ def _spans_build(spark, sf_dir: str) -> DataFrame:
     )
     out = sp.join(
         ch,
-        (F.col("trace_id") == F.col("c_trace_id")) & (F.col("span_id") == F.col("c_pid")),
+        (F.col("trace_id") == F.col("c_trace_id")) & (F.col("rn") == F.col("c_prn")),
         "left",
-    ).drop("c_trace_id", "c_pid")
+    ).drop("c_trace_id", "c_prn")
     is_root = F.col("parent_span_id").isNull() | (F.col("parent_span_id") == -1)
     is_entry_api = (F.col("kind") == "ENTRY") & (
         F.col("parent_kind").isNull()
