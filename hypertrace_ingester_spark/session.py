@@ -39,14 +39,17 @@ def _parse_mem_mb(mem: str) -> int:
     return mb
 
 
-def _driver_java_opts() -> str:
+def _driver_java_opts(driver_mem: str) -> str:
     override = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
     if override is not None:
         return override
     # -Xms/-Xmn derive from the SAME resolved byte count spark.driver.memory
-    # uses (get_spark passes the identical env string), so the pin holds for
-    # any unit suffix ('512m', '16384m', ...), not just plain gigabytes.
-    heap_mb = _parse_mem_mb(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    # uses (get_spark passes the identical EFFECTIVE string — a caller's
+    # extra_conf override included, round-4 fix: an env-derived -Xms16g
+    # with a caller's spark.driver.memory=8g refused to start the JVM in
+    # the local-cluster scaling bench), so the pin holds for any unit
+    # suffix ('512m', '16384m', ...), not just plain gigabytes.
+    heap_mb = _parse_mem_mb(driver_mem)
     young_mb = max(heap_mb // 3, 64)
     # -Xms pinned to -Xmx: this sandbox's hypervisor episodically collapses
     # page-fault bandwidth (measured 1.7 GB/s → 144 MB/s for minutes at a
@@ -76,6 +79,11 @@ def get_spark(
     cores = default_parallelism()
     master = master or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # effective driver memory: a caller override (extra_conf) wins over the
+    # env knob; the heap-pin java opts MUST derive from the same value
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
 
     builder = (
         SparkSession.builder.master(master)
@@ -97,7 +105,7 @@ def get_spark(
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # Broadcast threshold generous: every enrichment dim is a small table.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The parse stage's regex-heavy projections + 3 chained broadcast
@@ -118,7 +126,7 @@ def get_spark(
         # for the allocation-heavy parse/enrich stages (measured +10%
         # scaling efficiency at 32 threads). Executors override via
         # spark.executor.extraJavaOptions on a cluster.
-        .config("spark.driver.extraJavaOptions", _driver_java_opts())
+        .config("spark.driver.extraJavaOptions", _driver_java_opts(driver_mem))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

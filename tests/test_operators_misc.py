@@ -257,6 +257,18 @@ def test_parse_mem_mb_units():
         _parse_mem_mb("512kb")  # below 1 MB
 
 
+def test_driver_java_opts_follow_caller_memory_override():
+    """Round-4 fix: a caller's extra_conf spark.driver.memory override must
+    drive the -Xms/-Xmn pin — the env-default 16g pin with a caller's 8g
+    Xmx refused to start the local-cluster scaling-bench JVM ('Initial heap
+    size set to a larger value than the maximum heap size')."""
+    from hypertrace_ingester_spark.session import _driver_java_opts
+
+    opts = _driver_java_opts("8g")
+    assert "-Xms8192m" in opts and "-Xmn2730m" in opts
+    assert "-Xms16384m" in _driver_java_opts("16g")
+
+
 def test_parse_user_agents_fuzz_invariants(spark):
     """The 85-rule UA table must never throw and must keep its structural
     invariants on adversarial input: family and type are always set
