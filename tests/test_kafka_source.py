@@ -87,3 +87,62 @@ def test_decoded_frame_feeds_the_pipeline_parse_stage(spark, wire):
 def test_kafka_stream_raises_documented_error_without_connector(spark):
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         ks.kafka_stream(spark, "localhost:9092", "sequences")
+
+
+def test_kafka_wire_stream_through_full_pipeline(spark, tmp_path):
+    """End-to-end streaming integration: kafka-wire-shaped records arrive as
+    a bounded file stream (identical columns to readStream.format('kafka')),
+    are decoded mid-stream, and the full foreachBatch pipeline fans them out
+    — the deployment shape of the production Kafka path, minus only the
+    broker. Dead-letter rows are filtered to a quarantine sink with their
+    lineage, and the routed token payload survives bit-identically."""
+    from pyspark.sql import functions as F
+
+    from hypertrace_ingester_spark import datagen
+    from hypertrace_ingester_spark.plans.pipeline import PipelineConfig
+    from hypertrace_ingester_spark.plans.streaming_pipeline import (
+        run_streaming_pipeline,
+    )
+
+    seqs = datagen.generate_sequences(spark, 400, partitions=2)
+    wire_path = str(tmp_path / "wire_in")
+    wire = ks.encode_kafka_records(seqs).withColumn(
+        "timestamp", F.lit(None).cast("timestamp")
+    )
+    # one malformed record rides along (undecodable value bytes)
+    bad = spark.createDataFrame(
+        [(b"bad", b"not json", "sequences", 0, -1, None)], wire.schema
+    )
+    wire.union(bad).write.parquet(wire_path)
+
+    stream = (
+        spark.readStream.schema(wire.schema).parquet(wire_path)
+        .transform(ks.decode_kafka_records)
+    )
+    quarantine = stream.filter(F.col("is_malformed")).select(
+        "raw_value", *ks.LINEAGE_COLS
+    )
+    qq = (
+        quarantine.writeStream.format("memory").queryName("kafka_dead_letter")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    good = stream.filter(~F.col("is_malformed")).drop(
+        "is_malformed", "raw_value", *ks.LINEAGE_COLS
+    )
+    out_dir = str(tmp_path / "out")
+    q = run_streaming_pipeline(
+        spark, good, PipelineConfig(out_dir=out_dir), trigger_available_now=True
+    )
+    q.awaitTermination(180)
+    qq.awaitTermination(60)
+
+    dead = spark.sql("select * from kafka_dead_letter").collect()
+    assert len(dead) == 1 and dead[0]["kafka_offset"] == -1
+
+    routed = spark.read.parquet(out_dir + "/routed")
+    # pipeline invariant on the kafka path: routed token arrays equal the
+    # original generator's for every surviving doc_id
+    orig = seqs.select("doc_id", F.col("tokens").alias("orig_tokens"))
+    joined = routed.join(orig, "doc_id")
+    assert joined.count() == routed.count()
+    assert joined.filter(F.col("tokens") != F.col("orig_tokens")).count() == 0
