@@ -136,7 +136,10 @@ def run_pipeline(
     parse_ckpt = os.path.join(cfg.out_dir, "_checkpoints", "parsed")
     cached_parse = None
     parse_state = manifest["stages"].get("parse", {})
-    if resume and parse_state.get("complete") and parse_state.get("checkpoint"):
+    resumed_from_ckpt = bool(
+        resume and parse_state.get("complete") and parse_state.get("checkpoint")
+    )
+    if resumed_from_ckpt:
         # resume re-reads the checkpoint only if one was actually written;
         # a complete-but-uncheckpointed parse stage is recomputed (cheap,
         # deterministic) — the route/aggregate skips below still apply
@@ -149,9 +152,15 @@ def run_pipeline(
                 f"`{f.name}` {f.dataType.simpleString()}"
                 for f in spark.read.parquet(parse_ckpt).schema
             )
+            # the layout is re-declared with the bucket count the checkpoint
+            # was WRITTEN with (manifest-recorded), not the current cfg's —
+            # a drifted declared count would make the planner drop Exchanges
+            # over wrong bucket ids (round-4 review find)
             parsed = bucketing.ensure_bucketed_table(
                 spark, _parse_ckpt_table(cfg.out_dir), parse_ckpt, schema_ddl,
-                PARSE_BUCKET_COLS, cfg.parse_buckets, PARSE_SORT_COLS,
+                PARSE_BUCKET_COLS,
+                int(parse_state.get("buckets", cfg.parse_buckets)),
+                PARSE_SORT_COLS,
             )
         else:
             parsed = spark.read.parquet(parse_ckpt)
@@ -233,11 +242,21 @@ def run_pipeline(
         .groupBy("sink").agg(F.sum("num_rows").alias("n")).collect()
     }
     tenant_counters = [r.asDict() for r in counters.collect()]
-    manifest["stages"]["parse"] = {
-        "complete": True,
-        "checkpoint": cfg.checkpoint_parse,
-        "bucketed": bool(cfg.checkpoint_parse and cfg.bucket_parse_checkpoint),
-    }
+    if resumed_from_ckpt:
+        # the checkpoint on disk is what it always was — carry the prior
+        # record forward instead of rewriting it from the CURRENT cfg, which
+        # would erase the checkpoint/bucketed/buckets facts and make the
+        # NEXT resume recompute parse from the caller's (possibly
+        # placeholder) input (round-4 review find)
+        manifest["stages"]["parse"] = dict(parse_state)
+    else:
+        manifest["stages"]["parse"] = {
+            "complete": True,
+            "checkpoint": cfg.checkpoint_parse,
+            "bucketed": bool(cfg.checkpoint_parse and cfg.bucket_parse_checkpoint),
+        }
+        if cfg.checkpoint_parse and cfg.bucket_parse_checkpoint:
+            manifest["stages"]["parse"]["buckets"] = cfg.parse_buckets
     if cfg.session_stage:
         prior = manifest["stages"].get("sessions", {})
         manifest["stages"]["sessions"] = {

@@ -20,11 +20,15 @@ def default_parallelism() -> int:
 
 
 def _parse_mem_mb(mem: str) -> int:
-    """Resolve a JVM-style memory string ('16g', '512m', '16384m', '2048k',
-    bare bytes) to whole megabytes. Raises on unparseable input instead of
-    silently guessing — a guessed -Xms larger than spark.driver.memory's
-    -Xmx would refuse to start the JVM, and a smaller one silently drops
-    the Xms=Xmx variance pin (round-3 ADVICE)."""
+    """Resolve a Spark-style memory string ('16g', '512m', '16384m',
+    '2048k', bare MiB) to whole megabytes. A suffix-less number is MiB —
+    matching Spark's own JavaUtils.byteStringAsMb, which spark.driver.memory
+    goes through — so '4096' pins the same heap Spark allocates (round-4
+    review find: treating it as bytes rejected valid Spark conf strings).
+    Raises on unparseable input instead of silently guessing — a guessed
+    -Xms larger than spark.driver.memory's -Xmx would refuse to start the
+    JVM, and a smaller one silently drops the Xms=Xmx variance pin
+    (round-3 ADVICE)."""
     m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", mem.lower())
     if not m:
         raise ValueError(
@@ -32,7 +36,7 @@ def _parse_mem_mb(mem: str) -> int:
             "(expected e.g. '16g', '512m')"
         )
     n, unit = int(m.group(1)), m.group(2)
-    scale_mb = {"": 1 / (1 << 20), "k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    scale_mb = {"": 1, "k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
     mb = int(n * scale_mb[unit])
     if mb < 1:
         raise ValueError(f"memory size {mem!r} is below 1 MB")

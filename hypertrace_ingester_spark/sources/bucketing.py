@@ -80,7 +80,31 @@ def ensure_bucketed_table(
         f"CLUSTERED BY ({cluster}) SORTED BY ({sort}) INTO {n_buckets} BUCKETS "
         f"LOCATION '{path}'"
     )
+    # IF NOT EXISTS silently accepts a pre-existing entry with a DIFFERENT
+    # layout; a wrong declared bucket count is the worst kind of bug — the
+    # planner drops Exchanges trusting it and co-partitioned joins silently
+    # mis-bucket (round-4 review find). Validate the effective layout.
+    have_n, have_cols = _bucket_spec(spark, table)
+    if have_n != n_buckets or have_cols != list(bucket_cols):
+        raise ValueError(
+            f"bucketed table {table} exists with layout "
+            f"({have_n} buckets on {have_cols}), requested "
+            f"({n_buckets} on {list(bucket_cols)}); drop the table or pass "
+            "the layout it was written with (the pipeline manifest records it)"
+        )
     return spark.table(table)
+
+
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int | None, list[str]]:
+    """(num_buckets, bucket_cols) as the catalog sees them."""
+    n, cols = None, []
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        key = (r["col_name"] or "").strip()
+        if key == "Num Buckets":
+            n = int(r["data_type"].strip())
+        elif key == "Bucket Columns":
+            cols = [c.strip(" `") for c in r["data_type"].strip("[]").split(",")]
+    return n, cols
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

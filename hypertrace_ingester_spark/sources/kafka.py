@@ -83,8 +83,10 @@ def decode_kafka_records(records: DataFrame) -> DataFrame:
 def encode_kafka_records(seqs: DataFrame, topic: str = "sequences") -> DataFrame:
     """Inverse projection (sequences → wire shape) for tests and for
     producing to a downstream topic: JSON value bytes keyed by doc_id.
-    Offsets are synthesized per-partition only as test fixtures — a real
-    broker assigns them."""
+    The synthesized offsets are globally unique but NOT a dense
+    per-partition cursor (monotonically_increasing_id embeds the Spark
+    partition in its high bits) — enough for fixture lineage/max-offset
+    checks; a real broker assigns true per-partition offsets."""
     return seqs.select(
         F.col("doc_id").cast("binary").alias("key"),
         F.to_json(
@@ -131,7 +133,17 @@ def kafka_stream(
     reader = reader.option("minPartitions", str(min_partitions))
     try:
         wire = reader.load()
-    except Exception as exc:  # connector jar absent → DATA_SOURCE_NOT_FOUND
+    except Exception as exc:
+        # re-diagnose ONLY the missing-connector failure (DATA_SOURCE_NOT_FOUND
+        # / ClassNotFound); any other load() error — bad options, malformed
+        # offsets JSON — propagates untouched so the caller debugs the real
+        # cause instead of chasing a packaging problem (round-4 review find)
+        msg = str(exc)
+        if not any(s in msg for s in (
+            "DATA_SOURCE_NOT_FOUND", "Failed to find the data source",
+            "Failed to find data source", "ClassNotFoundException",
+        )):
+            raise
         raise RuntimeError(
             "spark-sql-kafka connector not available in this runtime; "
             "deploy with --packages org.apache.spark:spark-sql-kafka-0-10_2.13 "

@@ -123,3 +123,60 @@ def test_pipeline_bucketed_checkpoint_resume(spark, tmp_path):
     plan = sess._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     spark.sql(f"DROP TABLE IF EXISTS {_parse_ckpt_table(out)}")
+
+
+def test_resume_uses_recorded_bucket_count_and_preserves_manifest(spark, tmp_path):
+    """Round-4 review finds: (a) a resume with a DIFFERENT cfg.parse_buckets
+    must re-declare the checkpoint with the count it was WRITTEN with
+    (manifest-recorded), never the current cfg's; (b) the resumed run must
+    carry the parse checkpoint facts forward in the manifest instead of
+    rewriting them from the current cfg (which would make the NEXT resume
+    recompute parse from the caller's placeholder input); (c)
+    ensure_bucketed_table must refuse a pre-existing catalog entry with a
+    mismatched layout instead of silently accepting it."""
+    import json
+
+    import pytest
+
+    from hypertrace_ingester_spark import datagen
+    from hypertrace_ingester_spark.plans.pipeline import (
+        PARSE_BUCKET_COLS,
+        PipelineConfig,
+        _parse_ckpt_table,
+        run_pipeline,
+    )
+    from hypertrace_ingester_spark.sources import bucketing
+
+    seq = datagen.generate_sequences(spark, 2000)
+    out = str(tmp_path / "drift")
+    m1 = run_pipeline(spark, seq, PipelineConfig(
+        out_dir=out, checkpoint_parse=True, bucket_parse_checkpoint=True,
+        parse_buckets=8,
+    ))
+    assert m1["stages"]["parse"]["buckets"] == 8
+
+    # (c) mismatched re-declare against the LIVE catalog entry raises
+    tbl = _parse_ckpt_table(out)
+    ckpt = out + "/_checkpoints/parsed"
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in spark.read.parquet(ckpt).schema)
+    with pytest.raises(ValueError, match="buckets"):
+        bucketing.ensure_bucketed_table(
+            spark, tbl, ckpt, ddl, PARSE_BUCKET_COLS, 32)
+
+    # (a)+(b): new session analog + resume with a DRIFTED default (32)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    m2 = run_pipeline(spark, seq.limit(0), PipelineConfig(
+        out_dir=out, parse_buckets=32,   # checkpoint flags all default/absent
+    ), resume=True)
+    assert m2["stages"]["route"]["sink_counts"] == m1["stages"]["route"]["sink_counts"]
+    # manifest still records the on-disk truth after the resume
+    with open(out + "/_manifest.json") as f:
+        m_disk = json.load(f)["stages"]["parse"]
+    assert m_disk["checkpoint"] is True
+    assert m_disk["bucketed"] is True
+    assert m_disk["buckets"] == 8
+    # and the re-declared table carries the written layout
+    n, cols = bucketing._bucket_spec(spark, tbl)
+    assert n == 8 and cols == list(PARSE_BUCKET_COLS)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")

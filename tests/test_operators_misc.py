@@ -251,6 +251,8 @@ def test_parse_mem_mb_units():
     assert _parse_mem_mb("512m") == 512
     assert _parse_mem_mb("512MB") == 512
     assert _parse_mem_mb("2097152k") == 2048
+    # suffix-less = MiB, matching Spark's JavaUtils for *.memory confs
+    assert _parse_mem_mb("4096") == 4096
     with pytest.raises(ValueError):
         _parse_mem_mb("lots")
     with pytest.raises(ValueError):
