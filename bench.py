@@ -59,6 +59,17 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def spin_probe() -> float:
+    """Single-thread CPU speed in Mops over a 0.2 s window — the per-run
+    machine-state marker recorded next to every measured number. Module
+    scope so sibling scripts (write_options_ab) share ONE calibration."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 0.2:
+        x += 1
+    return round(x / (time.time() - t0) / 1e6, 2)
+
+
 def host_probe(own_jvms: int = 0) -> dict:
     """Cheap canary for the two failure modes that have poisoned
     measurements on this sandbox (round 3): stray Spark JVMs left behind by
@@ -166,13 +177,6 @@ def main() -> None:
     # slowdowns up to 20x, strictly one-sided noise), so the minimum is the
     # honest estimate of what the code does; the median and the per-run
     # spin probe show the machine-state distribution the run actually saw
-    def spin_probe() -> float:
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 0.2:
-            x += 1
-        return round(x / (time.time() - t0) / 1e6, 2)
-
     # elapsed-time guard: during a degraded-host regime each run can take
     # 3-10x its healthy wall; cap the measured series (keeping >=2 runs)
     # so the whole bench stays within any external runtime budget instead

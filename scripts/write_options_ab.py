@@ -33,6 +33,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import spin_probe  # shared calibration with bench JSON spins
 from hypertrace_ingester_spark import datagen
 from hypertrace_ingester_spark.operators import enrich as enrich_ops
 from hypertrace_ingester_spark.operators import parse as parse_ops
@@ -50,14 +51,6 @@ VARIANTS = {
         "parquet.page.size": str(4 * 1024 * 1024),
     },
 }
-
-
-def spin_probe() -> float:
-    t0 = time.time()
-    x = 0
-    while time.time() - t0 < 0.2:
-        x += 1
-    return round(x / (time.time() - t0) / 1e6, 2)
 
 
 def main() -> None:
