@@ -802,28 +802,67 @@ def a_otlp_gauges(spark, sf_dir):
 
 @register(
     "x_multimodal_features",
-    None,  # binary container payloads aren't reproducible in DuckDB core
-    doc="Multimodal decode under the gate (rows-only): synthetic media with "
-        "REAL container payloads (PNG / 16-bit PCM WAV / Y4M raw video, all "
-        "built and decoded by the stdlib-only codecs in functions/codecs.py; "
-        "compressed codecs remain the documented seam) -> mapInPandas "
-        "decode/feature extraction "
-        "(payload dropped before the aggregate shuffle) -> per-kind rollup "
-        "of byte counts, distinct hashes, real-decode counts and decoded "
-        "dimensions.",
+    # FULL oracle (round-4 upgrade, spandom pattern): the media table is
+    # synthesized from closed-form laws of the row index i
+    # (operators/multimodal.py media_image/media_audio/media_video:
+    # image w=16+(i%8)*8, h=16+(i%6)*8; audio dur=500+(i%10)*500;
+    # video 32x24, dur=(1+(i%10))*500). Spark gets the SAME numbers only by
+    # building REAL PNG/WAV/Y4M container bytes and decoding them back with
+    # the stdlib codecs; DuckDB restates the expected decode output directly
+    # from the generative laws over generate_series — a hash match therefore
+    # verifies the encode->decode round trip end-to-end (dims, durations,
+    # decode success), not the generator alone.
+    """
+    WITH m AS (
+      SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CASE i % 3 WHEN 0 THEN 16 + (i % 8) * 8 WHEN 2 THEN 32 END AS width,
+             CASE i % 3 WHEN 0 THEN 16 + (i % 6) * 8 WHEN 2 THEN 24 END AS height,
+             CASE i % 3 WHEN 1 THEN 500 + (i % 10) * 500
+                        WHEN 2 THEN (1 + (i % 10)) * 500 END AS duration_ms
+      FROM generate_series(0, 299) AS t(i)
+    )
+    SELECT kind,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(count(*) AS BIGINT) AS n_decoded,
+           CAST(sum(width) AS BIGINT) AS sum_width,
+           CAST(sum(height) AS BIGINT) AS sum_height,
+           CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms,
+           CAST(count(DISTINCT coalesce(width, -1)::VARCHAR || ':' ||
+                               coalesce(height, -1)::VARCHAR || ':' ||
+                               coalesce(duration_ms, -1)::VARCHAR) AS BIGINT)
+             AS n_dim_variants
+    FROM m GROUP BY kind
+    """,
+    doc="Multimodal decode under the gate (FULL oracle since round 4): "
+        "synthetic media with REAL container payloads (PNG / 16-bit PCM WAV "
+        "/ Y4M raw video, all built and decoded by the stdlib-only codecs "
+        "in functions/codecs.py; compressed codecs remain the documented "
+        "seam) -> mapInPandas decode/feature extraction (payload dropped "
+        "before the aggregate shuffle) -> per-kind rollup of decode-success "
+        "counts and DECODED dimensions/durations. The oracle restates the "
+        "expected decoded values from the generator's closed-form laws, so "
+        "agreement proves the container round trip, not just the rollup. "
+        "Byte counts / payload-hash distinctness (compression-dependent, "
+        "not SQL-statable) stay under tests/test_multimodal.py.",
 )
 def x_multimodal_features(spark, sf_dir):
     from .operators import multimodal as mm
 
     media = mm.generate_media(spark, 300)
     feats = mm.extract_features(media)
+    dim_key = F.concat_ws(
+        ":",
+        F.coalesce(F.col("width"), F.lit(-1)).cast("string"),
+        F.coalesce(F.col("height"), F.lit(-1)).cast("string"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).cast("string"),
+    )
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
-        F.sum("n_bytes").cast("long").alias("total_bytes"),
-        F.countDistinct("payload_hash").alias("n_distinct"),
         F.sum(F.col("decoded").cast("int")).cast("long").alias("n_decoded"),
         F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
         F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+        F.countDistinct(dim_key).alias("n_dim_variants"),
     )
 
 
