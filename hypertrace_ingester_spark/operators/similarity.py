@@ -100,10 +100,51 @@ def _hyperplanes(dim: int, bits: int = ANN_BITS) -> np.ndarray:
     return rng.standard_normal((dim, bits)).astype(np.float64)
 
 
+def _fold_dot_np(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) × (dim, p) dot products accumulated in STRICT index order —
+    bit-identical to Spark's ``_dot`` fold and DuckDB's ``list_dot_product``
+    (both sequential left folds over the same doubles), unlike BLAS matmul's
+    blocked/pairwise summation. ~dim vectorized passes instead of one dgemm:
+    only worth it when an oracle needs to restate the result exactly."""
+    out = np.zeros((x.shape[0], planes.shape[1]))
+    for d in range(x.shape[1]):
+        out += x[:, d : d + 1] * planes[d]
+    return out
+
+
+def _fold_norm_np(x: np.ndarray) -> np.ndarray:
+    """L2 norms with strict index-order accumulation (see _fold_dot_np)."""
+    acc = np.zeros(x.shape[0])
+    for d in range(x.shape[1]):
+        acc += x[:, d] ** 2
+    return np.sqrt(acc)
+
+
+def vectors_by_id(
+    df: DataFrame, lo: int, hi: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Collect the vectors with lo <= id < hi as an (hi-lo, dim) float64
+    array ordered by id — a bounded driver-side collect (same class as
+    ``fit_centroids``'s seeded sample) used to derive CORPUS-DATA planes /
+    centroids both engines can read from the same parquet (the oracle trick:
+    no seeded-numpy state a SQL engine can't restate)."""
+    rows = (
+        df.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi))
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if len(rows) != hi - lo:
+        raise ValueError(f"expected ids [{lo},{hi}) contiguous, got {len(rows)} rows")
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
 def lsh_signatures(
     df: DataFrame, dim: int, bits: int = ANN_BITS,
     id_col: str = "vec_id", vec_col: str = "embedding",
     nprobe: int = 1, tables: int = 1,
+    planes: np.ndarray | None = None, exact_fold: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id(s) per vector, as a PASS-THROUGH
     ``mapInPandas``: yields (id, embedding, vnorm, bucket) from the same
@@ -125,8 +166,17 @@ def lsh_signatures(
     union recall 1-(1-p^bits)^tables vs a single table's p^bits. Storage
     and shuffle volume scale ×tables (the standard trade); the table index
     is packed into the bucket id's high bits so the join key stays one
-    bigint column."""
-    planes = _hyperplanes(dim, bits * tables)
+    bigint column.
+
+    ``planes`` overrides the seeded hyperplanes with a caller-supplied
+    (dim, tables*bits) matrix — e.g. CORPUS vectors (``vectors_by_id``), so
+    a SQL oracle can recompute the same planes from the same parquet.
+    ``exact_fold`` switches margins/norms to strict index-order accumulation
+    (bit-identical to DuckDB's list_dot_product; see _fold_dot_np) —
+    oracle-parity mode, a few × slower than the default matmul."""
+    planes = _hyperplanes(dim, bits * tables) if planes is None else planes
+    if planes.shape != (dim, bits * tables):
+        raise ValueError(f"planes must be ({dim}, {bits * tables}), got {planes.shape}")
     nprobe = max(1, min(nprobe, bits + 1))
 
     def signer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,9 +186,13 @@ def lsh_signatures(
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            margins = (x @ planes).reshape(len(pdf), tables, bits)
+            if exact_fold:
+                margins = _fold_dot_np(x, planes).reshape(len(pdf), tables, bits)
+                vnorm = _fold_norm_np(x)
+            else:
+                margins = (x @ planes).reshape(len(pdf), tables, bits)
+                vnorm = np.sqrt((x * x).sum(axis=1))
             bucket = (margins > 0).astype(np.int64) @ weights + table_tag  # (n, tables)
-            vnorm = np.sqrt((x * x).sum(axis=1))
             ids = pdf[id_col].to_numpy()
             vecs = pdf[vec_col]
             if nprobe > 1:
@@ -173,6 +227,9 @@ def ann_topk(
     tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    exact_fold: bool = False,
+    round_cos: int | None = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's LSH probe
     buckets; exact cosine + per-query top-k within the bucket. Trades recall
@@ -181,12 +238,18 @@ def ann_topk(
     all-pairs scan. On near-uniform embeddings a single hyperplane table
     has poor recall no matter the probing (there is no low-dimensional
     structure for 8-16 hyperplanes to capture); multi-table union is the
-    standard remedy — see the measured recall table in bench.py output."""
-    c = lsh_signatures(corpus, dim, bits, id_col, vec_col, tables=tables).select(
+    standard remedy — see the measured recall table in bench.py output.
+
+    ``planes``/``exact_fold`` are the oracle-parity knobs (see
+    lsh_signatures); ``round_cos=None`` returns the raw cosine double
+    (bit-identical to the oracle's) instead of the 4-digit display round."""
+    c = lsh_signatures(corpus, dim, bits, id_col, vec_col, tables=tables,
+                       planes=planes, exact_fold=exact_fold).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"), "bucket",
     )
-    q = lsh_signatures(queries, dim, bits, id_col, vec_col, nprobe=nprobe, tables=tables).select(
+    q = lsh_signatures(queries, dim, bits, id_col, vec_col, nprobe=nprobe, tables=tables,
+                       planes=planes, exact_fold=exact_fold).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         F.col("vnorm").alias("qnorm"), "bucket",
     )
@@ -206,10 +269,12 @@ def ann_topk(
     )
     if tables > 1:
         scored = scored.distinct()
+    cos_out = (F.round("cos_sim", round_cos) if round_cos is not None
+               else F.col("cos_sim")).alias("cos_sim")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", cos_out)
     )
 
 
@@ -271,23 +336,34 @@ def fit_centroids(
 def ivf_assign(
     df: DataFrame, dim: int, n_cells: int = IVF_CELLS, nprobe: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    centroids: np.ndarray | None = None,
+    centroids: np.ndarray | None = None, exact_fold: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest coarse centroids by
     cosine — a PASS-THROUGH ``mapInPandas`` yielding (id, embedding, vnorm,
     cell) from the same Arrow batch (no join-back shuffle). nprobe=1 builds
     the inverted lists (corpus side); nprobe>1 yields the probe set per
-    query."""
+    query.
+
+    ``exact_fold`` (oracle-parity mode) computes the cosines as
+    dot/(|x|·|c|) with strict index-order folds on the RAW (possibly
+    unnormalized) centroids — the exact arithmetic a SQL oracle states as
+    ``list_dot_product(e, ce) / (nrm * cnrm)`` — instead of the default
+    pre-normalized matmul."""
     cents = _centroids(dim, n_cells) if centroids is None else centroids
+    cnorm = _fold_norm_np(cents) if exact_fold else None
 
     def assigner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vnorm = np.sqrt((x * x).sum(axis=1))
-            xn = x / np.maximum(vnorm[:, None], 1e-12)
-            sims = xn @ cents.T
+            if exact_fold:
+                vnorm = _fold_norm_np(x)
+                sims = _fold_dot_np(x, cents.T) / (vnorm[:, None] * cnorm[None, :])
+            else:
+                vnorm = np.sqrt((x * x).sum(axis=1))
+                xn = x / np.maximum(vnorm[:, None], 1e-12)
+                sims = xn @ cents.T
             # top-nprobe cells, deterministic tie-break by cell index
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             n = len(pdf)
@@ -315,6 +391,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     corpus_probe: int = 1,
+    exact_fold: bool = False,
+    round_cos: int | None = 4,
 ) -> DataFrame:
     """IVF ANN: corpus partitioned into inverted lists by coarse centroid;
     each query probes its ``nprobe`` nearest cells and reranks exactly
@@ -331,12 +409,17 @@ def ivf_topk(
     probability — the standard IVF recall lever for near-uniform
     embeddings, where a neighbor's best cell often isn't the query's
     (measured on the synthetic fixture: trained centroids + corpus_probe=2
-    + nprobe=4 reaches recall@5 = 0.8 where single assignment gets 0.59)."""
-    c = ivf_assign(corpus, dim, n_cells, corpus_probe, id_col, vec_col, centroids).select(
+    + nprobe=4 reaches recall@5 = 0.8 where single assignment gets 0.59).
+
+    ``exact_fold``/``round_cos`` are the oracle-parity knobs (see
+    ivf_assign / ann_topk)."""
+    c = ivf_assign(corpus, dim, n_cells, corpus_probe, id_col, vec_col, centroids,
+                   exact_fold=exact_fold).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         F.col("vnorm").alias("cnorm"), "cell",
     )
-    q = ivf_assign(queries, dim, n_cells, nprobe, id_col, vec_col, centroids).select(
+    q = ivf_assign(queries, dim, n_cells, nprobe, id_col, vec_col, centroids,
+                   exact_fold=exact_fold).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         F.col("vnorm").alias("qnorm"), "cell",
     )
@@ -352,10 +435,12 @@ def ivf_topk(
         # corpus cell that intersects the query's probe set); with
         # single assignment the distinct would just add a shuffle
         scored = scored.distinct()
+    cos_out = (F.round("cos_sim", round_cos) if round_cos is not None
+               else F.col("cos_sim")).alias("cos_sim")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", cos_out)
     )
 
 

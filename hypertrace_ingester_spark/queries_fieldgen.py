@@ -866,19 +866,99 @@ def x_multimodal_features(spark, sf_dir):
     )
 
 
+_ANN_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+-- IVF: centroids = the raw corpus vectors vec_id 0..15 (cell = vec_id)
+cent AS (SELECT vec_id AS cell, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
+asn AS (
+  SELECT v.vec_id, cent.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, cent.ce) / (v.nrm * cent.cnrm) DESC, cent.cell ASC) AS rn
+  FROM v CROSS JOIN cent
+),
+corpus_cells AS (SELECT vec_id, cell FROM asn WHERE rn = 1),
+query_cells  AS (SELECT vec_id, cell FROM asn WHERE vec_id < 20 AND rn <= 4),
+ivf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) AS cos_sim
+  FROM query_cells q JOIN corpus_cells c USING (cell)
+  JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id
+  WHERE c.vec_id != q.vec_id
+),
+ivf_top AS (
+  SELECT 'ivf' AS method, query_id, neighbor_id, rank, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM ivf_scored) WHERE rank <= 5
+),
+-- LSH: plane p = corpus vector vec_id 100+p; table t = p//16, bit b = p%16
+pl AS (
+  SELECT (vec_id - 100) // 16 AS t, (vec_id - 100) % 16 AS b, e AS pe
+  FROM v WHERE vec_id BETWEEN 100 AND 355
+),
+marg AS (
+  SELECT v.vec_id, pl.t, pl.b, list_dot_product(v.e, pl.pe) AS m
+  FROM v CROSS JOIN pl
+),
+sig AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN m > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              + (t::BIGINT << 16) AS BIGINT) AS bucket
+  FROM marg GROUP BY vec_id, t
+),
+qflip AS (
+  SELECT vec_id, t, b FROM (
+    SELECT vec_id, t, b,
+           row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(m) ASC, b ASC) AS rn
+    FROM marg WHERE vec_id < 20) WHERE rn = 1
+),
+query_buckets AS (
+  SELECT vec_id, bucket FROM sig WHERE vec_id < 20
+  UNION ALL
+  SELECT s.vec_id, xor(s.bucket, 1::BIGINT << f.b) AS bucket
+  FROM sig s JOIN qflip f ON s.vec_id = f.vec_id AND s.t = f.t
+),
+lsh_scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) AS cos_sim
+  FROM query_buckets q JOIN sig c USING (bucket)
+  JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id
+  WHERE c.vec_id != q.vec_id
+),
+lsh_top AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id, rank, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM lsh_scored) WHERE rank <= 5
+)
+SELECT method, query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS cos_1e6
+FROM (SELECT * FROM ivf_top UNION ALL SELECT * FROM lsh_top)
+"""
+
+
 @register(
     "s_ann_ivf",
-    None,  # seeded-numpy centroids / hyperplanes aren't reproducible in DuckDB
+    _ANN_SQL,
     doc="BOTH ANN scale paths under one gate (round-4, VERDICT #6): a UNION "
-        "of labeled (method, query_id, neighbor_id, rank, cos_sim) rows from "
+        "of labeled (method, query_id, neighbor_id, rank, cos_1e6) rows from "
         "(a) IVF — corpus in inverted lists by coarse centroid, queries "
-        "probe nprobe cells and rerank exactly inside them, one corpus "
+        "probe nprobe=4 cells and rerank exactly inside them, one corpus "
         "shuffle keyed by cell — and (b) hyperplane LSH — 16-table "
         "multiprobe bucket join, pass-through signer, no join-back shuffle. "
-        "Rows-only check (seeded-numpy centroids/planes have no DuckDB "
-        "restatement); recall vs brute force asserted in "
-        "tests/test_similarity_ivf.py and measured in the bench recall "
-        "table.",
+        "FULL oracle (late round 4, spandom/md5 pattern variant): the gated "
+        "entry derives planes and centroids from CORPUS vectors both "
+        "engines read from the same parquet (vectors_by_id) and runs the "
+        "signer/assigner in exact_fold mode (strict index-order "
+        "accumulation, bit-identical to list_dot_product — proven property "
+        "of d_embed_near_dup), so DuckDB restates signatures, probe sets, "
+        "cell assignments, candidate joins, exact rerank, and the "
+        "micro-cosine itself. Production defaults keep the seeded-numpy "
+        "planes / k-means centroids + BLAS matmul — the machinery is "
+        "plane/centroid-agnostic; recall vs brute force stays asserted in "
+        "tests/test_similarity_ivf.py and the bench recall table.",
 )
 def s_ann_ivf(spark, sf_dir):
     from .operators import similarity as sim
@@ -886,10 +966,19 @@ def s_ann_ivf(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    ivf = sim.ivf_topk(emb, queries, dim=64, k=5).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
-    )
-    lsh = sim.ann_topk(emb, queries, dim=64, k=5, tables=16, nprobe=2).select(
-        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
-    )
-    return ivf.unionByName(lsh)
+    cents = sim.vectors_by_id(emb, 0, 16)          # (16, 64) raw corpus rows
+    planes = sim.vectors_by_id(emb, 100, 356).T    # (dim, tables*bits)
+
+    def label(df, method):
+        return df.select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("cos_sim") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long").alias("cos_1e6"),
+        )
+
+    ivf = sim.ivf_topk(emb, queries, dim=64, k=5, centroids=cents,
+                       exact_fold=True, round_cos=None)
+    lsh = sim.ann_topk(emb, queries, dim=64, k=5, tables=16, nprobe=2,
+                       planes=planes, exact_fold=True, round_cos=None)
+    return label(ivf, "ivf").unionByName(label(lsh, "lsh"))

@@ -167,3 +167,48 @@ def test_embedding_near_dups_lsh_agreement(spark):
     assert got <= exact, f"false positives: {got - exact}"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"planted-dup recall {recall:.2f} below 0.9"
+
+
+def test_fold_dot_bit_identical_to_sequential_fold():
+    """_fold_dot_np / _fold_norm_np (the exact_fold oracle-parity mode) must
+    accumulate in STRICT index order — bit-identical to a pure-Python left
+    fold, which is the same arithmetic Spark's F.aggregate and DuckDB's
+    list_dot_product perform. BLAS matmul (the production path) uses
+    blocked/pairwise summation and is allowed to differ in the last ulp;
+    the oracle path is not."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    x = rng.standard_normal((7, 64))
+    planes = rng.standard_normal((64, 5))
+    got = sim._fold_dot_np(x, planes)
+    for i in range(x.shape[0]):
+        for j in range(planes.shape[1]):
+            acc = 0.0
+            for d in range(64):
+                acc = acc + float(x[i, d]) * float(planes[d, j])
+            assert got[i, j] == acc  # bitwise, not approx
+    norms = sim._fold_norm_np(x)
+    for i in range(x.shape[0]):
+        acc = 0.0
+        for d in range(64):
+            acc = acc + float(x[i, d]) ** 2
+        assert norms[i] == np.sqrt(acc)
+
+
+def test_vectors_by_id_contiguity_guard(spark):
+    """vectors_by_id returns an id-ordered (hi-lo, dim) matrix and raises on
+    gaps — the guard that keeps oracle planes/centroids well-defined."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    rows = [(i, np.arange(4, dtype=np.float32) + i) for i in (0, 1, 3)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1].tolist() for r in rows]})
+    )
+    m = sim.vectors_by_id(df, 0, 2, vec_col="embedding")
+    assert m.shape == (2, 4) and m[1, 0] == 1.0
+    with pytest.raises(ValueError, match="contiguous"):
+        sim.vectors_by_id(df, 0, 4, vec_col="embedding")
