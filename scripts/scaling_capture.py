@@ -15,8 +15,12 @@ CRITICAL (CLAUDE.md): no other Spark work may run while this loop is
 armed — a concurrent JVM poisons a firing capture.
 
 Usage: python scripts/scaling_capture.py [--rows 4000000] [--reps 3]
-           [--min-fault 1.8] [--target-eff 0.46] [--max-minutes 240]
-           [--log /tmp/scaling_capture.jsonl]
+           [--mode threads|executors] [--min-fault 1.8] [--target-eff 0.46]
+           [--max-minutes 240] [--log /tmp/scaling_capture.jsonl]
+
+``--mode executors`` waits for a stricter window (fault >=2.0 GB/s) and
+runs scaling_bench SEQUENTIALLY (interleaving executors mode is impossible
+on this box — see CLAUDE.md); threads mode keeps the interleaved ABAB run.
 """
 from __future__ import annotations
 
@@ -37,14 +41,26 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
-    ap.add_argument("--min-fault", type=float, default=1.8,
-                    help="GB/s page-fault bandwidth gate (healthy >=2)")
+    ap.add_argument("--levels", type=int, nargs=2, default=None,
+                    help="parallelism levels (default 8 32 threads, 1 4 executors)")
+    ap.add_argument("--mode", choices=["threads", "executors"], default="threads",
+                    help="executors mode runs SEQUENTIAL (never interleaved: "
+                         "both levels alive = ~108 GB of Xms-pinned heaps on a "
+                         "128 GiB box) and gates on a stricter fault band — "
+                         "4x12g executors fault ~48 GB up front, so a degraded "
+                         "window poisons the 4N level disproportionately")
+    ap.add_argument("--min-fault", type=float, default=None,
+                    help="GB/s page-fault bandwidth gate (healthy >=2; "
+                         "default 1.8 threads, 2.0 executors)")
     ap.add_argument("--target-eff", type=float, default=0.46,
                     help="stop early once median-based efficiency beats this")
     ap.add_argument("--max-minutes", type=float, default=240)
     ap.add_argument("--log", default="/tmp/scaling_capture.jsonl")
     args = ap.parse_args()
+    if args.levels is None:
+        args.levels = [8, 32] if args.mode == "threads" else [1, 4]
+    if args.min_fault is None:
+        args.min_fault = 1.8 if args.mode == "threads" else 2.0
 
     deadline = time.time() + args.max_minutes * 60
     best = None
@@ -61,7 +77,9 @@ def main() -> int:
         cmd = [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
                "--rows", str(args.rows), "--reps", str(args.reps),
                "--levels", str(args.levels[0]), str(args.levels[1]),
-               "--interleave", "--no-report"]
+               "--mode", args.mode, "--no-report"]
+        if args.mode == "threads":
+            cmd.append("--interleave")
         t0 = time.time()
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         post = bench.host_probe()
