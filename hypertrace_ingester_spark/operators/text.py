@@ -25,6 +25,10 @@ LANG_STOPWORDS = {
 # regexp-based so it stays JVM-side.
 BPE_CHARS_PER_TOKEN = 4
 
+# Gopher-style symbol marks (Rae et al. 2021 §A1.1 uses '#' and '…' — the
+# ASCII ellipsis spelled '...' is folded in as the common web form).
+GOPHER_SYMBOL_RE = r"[#…]|\.\.\."
+
 
 def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
@@ -86,6 +90,50 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality filters (Rae et al. 2021, public):
+    duplicate-word fraction, duplicate-2-gram fraction, symbol-to-word
+    ratio, alpha-word fraction, and the composite ``gopher_keep`` flag.
+    All pure column expressions (one map stage, codegen'd) — the shape a
+    web-scale curation pass runs before any dedup shuffle. Ratios use
+    ``round_half_up`` so the DuckDB oracle restates them bit-identically."""
+    w = _words(text_col)
+    n = F.size(w)
+    g = F.greatest(n, F.lit(1))
+    # word 2-grams, same ANSI-safe guard as dedup.shingles (n=1 docs must
+    # yield an EMPTY array, not a descending sequence)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n2 = F.size(bigrams)
+    dup_word = round_half_up(
+        (n - F.size(F.array_distinct(w))).cast("double") / g, 3)
+    dup_2gram = round_half_up(
+        (n2 - F.size(F.array_distinct(bigrams))).cast("double")
+        / F.greatest(n2, F.lit(1)), 3)
+    symbol_ratio = round_half_up(
+        F.regexp_count(F.col(text_col), F.lit(GOPHER_SYMBOL_RE)).cast("double") / g, 3)
+    alpha_frac = round_half_up(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / g, 3)
+    return (
+        docs.withColumn("dup_word_frac", dup_word)
+        .withColumn("dup_2gram_frac", dup_2gram)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn(
+            "gopher_keep",
+            (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("symbol_word_ratio") <= 0.1)
+            & (F.col("dup_2gram_frac") <= 0.2)
+            & (F.col("dup_word_frac") <= 0.5),
+        )
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All per-doc text metrics in ONE map-stage pass: token counts,
     language ID, quality features, normalized fingerprint, and the distinct
@@ -94,10 +142,13 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fused profile is the shape a real curation pipeline runs."""
     from . import dedup as dd
 
-    return fingerprint(
-        quality_score(language_id(token_counts(docs, text_col), text_col), text_col),
+    return repetition_signals(
+        fingerprint(
+            quality_score(language_id(token_counts(docs, text_col), text_col), text_col),
+            text_col,
+        ).withColumn("n_shingles", F.size(dd.shingles(text_col))),
         text_col,
-    ).withColumn("n_shingles", F.size(dd.shingles(text_col)))
+    )
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

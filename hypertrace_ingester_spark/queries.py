@@ -738,9 +738,14 @@ _STOPS_SQL = {
                  f"len(list_filter(ws, w -> list_contains({_STOPS_SQL[lang]}, w))) AS s_{lang}"
                  for lang in sorted(txt.LANG_STOPWORDS)
              )},
-             floor(list_sum(list_transform(ws, x -> length(x))) * 1.0 / greatest(len(ws), 1) * 100 + 0.5) / 100 AS mean_word_len
+             floor(list_sum(list_transform(ws, x -> length(x))) * 1.0 / greatest(len(ws), 1) * 100 + 0.5) / 100 AS mean_word_len,
+             list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                            i -> ws[i] || ' ' || ws[i+1]) AS bg
       FROM base
     )
+    SELECT *, (alpha_word_frac >= 0.8 AND symbol_word_ratio <= 0.1
+               AND dup_2gram_frac <= 0.2 AND dup_word_frac <= 0.5) AS gopher_keep
+    FROM (
     SELECT doc_id, lang,
            CAST(len(ws) AS BIGINT) AS n_words,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
@@ -756,17 +761,25 @@ _STOPS_SQL = {
            md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS doc_fp,
            CAST(len(list_distinct(list_transform(
              range(1, greatest(len(ws) - 2, 0) + 1),
-             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS BIGINT) AS n_shingles
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS BIGINT) AS n_shingles,
+           floor((len(ws) - len(list_distinct(ws))) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS dup_word_frac,
+           floor((len(bg) - len(list_distinct(bg))) * 1.0 / greatest(len(bg), 1) * 1000 + 0.5) / 1000 AS dup_2gram_frac,
+           floor(len(regexp_extract_all(text, '[#…]|\.\.\.')) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS symbol_word_ratio,
+           floor(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS alpha_word_frac
     FROM scored
+    )
     """,
     doc="Fused per-doc text profile — token counting (whitespace words + "
         "BPE-ish chars/4 estimate), stopword-vote language ID (argmax, "
         "deterministic tiebreak), quality features (mean word length, "
-        "stopword ratio, Gopher-shape keep flag), normalized md5 "
-        "fingerprint, and the distinct 3-gram shingle count (the primitive "
-        "under MinHash/Jaccard dedup) — ONE scan of the text column "
-        "(text.text_profile); at 100 TB the scan dominates, so curation "
-        "metrics are computed fused, never as five passes.",
+        "stopword ratio, Gopher-shape keep flag), Gopher repetition "
+        "filters (duplicate-word / duplicate-2-gram fractions, symbol-to-"
+        "word ratio, alpha-word fraction, composite gopher_keep — Rae et "
+        "al. 2021), normalized md5 fingerprint, and the distinct 3-gram "
+        "shingle count (the primitive under MinHash/Jaccard dedup) — ONE "
+        "scan of the text column (text.text_profile); at 100 TB the scan "
+        "dominates, so curation metrics are computed fused, never as six "
+        "passes.",
 )
 def d_text_profile(spark, sf_dir):
     from .sources import widen
@@ -783,6 +796,11 @@ def d_text_profile(spark, sf_dir):
         "quality_keep",
         "doc_fp",
         F.col("n_shingles").cast("long").alias("n_shingles"),
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "symbol_word_ratio",
+        "alpha_word_frac",
+        "gopher_keep",
     )
 
 

@@ -1,0 +1,80 @@
+"""Gopher-style repetition/quality signals (text.repetition_signals).
+
+Hand-computed expectations per the public Gopher filters (Rae et al. 2021):
+duplicate-word fraction, duplicate-2-gram fraction, symbol-to-word ratio,
+alpha-word fraction, composite gopher_keep. These are the standard
+web-scale curation pass run BEFORE any dedup shuffle (pure map stage).
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hypertrace_ingester_spark.operators import text as txt
+
+
+def _signals(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = txt.repetition_signals(docs).orderBy("doc_id").collect()
+    return rows
+
+
+def test_repetition_signals_hand_computed(spark):
+    rows = _signals(spark, [
+        "the cat sat on the mat",      # 0: clean English
+        "spam spam spam spam",         # 1: one word repeated
+        "a b a b a b",                 # 2: repeated bigram pattern
+        "1 2 3 4 5 6 7 8 9 10",        # 3: no alpha words
+        "see #tag and ... more #x",    # 4: symbol-heavy
+        "",                            # 5: empty text
+        "word",                        # 6: single word (no bigrams)
+    ])
+
+    r = rows[0]  # 6 words, 5 distinct -> dup_word 1/6; bigrams 5 distinct
+    assert r["dup_word_frac"] == 0.167
+    assert r["dup_2gram_frac"] == 0.0
+    assert r["symbol_word_ratio"] == 0.0
+    assert r["alpha_word_frac"] == 1.0
+    assert r["gopher_keep"] is True
+
+    r = rows[1]  # 4 words 1 distinct -> 3/4; 3 bigrams 1 distinct -> 2/3
+    assert r["dup_word_frac"] == 0.75
+    assert r["dup_2gram_frac"] == 0.667
+    assert r["gopher_keep"] is False
+
+    r = rows[2]  # 6 words 2 distinct -> 4/6; 5 bigrams 2 distinct -> 3/5
+    assert r["dup_word_frac"] == 0.667
+    assert r["dup_2gram_frac"] == 0.6
+    assert r["gopher_keep"] is False
+
+    r = rows[3]  # all-numeric words fail the alpha-word rule
+    assert r["alpha_word_frac"] == 0.0
+    assert r["gopher_keep"] is False
+
+    r = rows[4]  # '#tag', '...', '#x' -> 3 symbol marks / 6 words = 0.5
+    assert r["symbol_word_ratio"] == 0.5
+    assert r["gopher_keep"] is False
+
+    r = rows[5]  # split('') -> [''] : 1 word, no alpha, no bigrams
+    assert r["dup_word_frac"] == 0.0
+    assert r["dup_2gram_frac"] == 0.0
+    assert r["alpha_word_frac"] == 0.0
+    assert r["gopher_keep"] is False
+
+    r = rows[6]  # single word: the bigram guard must yield an empty array
+    assert r["dup_2gram_frac"] == 0.0
+    assert r["dup_word_frac"] == 0.0
+    assert r["gopher_keep"] is True
+
+
+def test_text_profile_carries_repetition_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat sat on the mat by the door")],
+        "doc_id long, lang string, text string")
+    row = txt.text_profile(docs).collect()[0]
+    for col in ("dup_word_frac", "dup_2gram_frac", "symbol_word_ratio",
+                "alpha_word_frac", "gopher_keep"):
+        assert col in row.asDict()
+    assert row["gopher_keep"] is True
+    # still one fused frame: prior profile columns intact
+    assert row["n_words"] == 9 and row["pred_lang"] == "en"
