@@ -88,6 +88,26 @@ def streaming_metrics(
     )
 
 
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: the first occurrence of each normalized
+    content fingerprint passes; later copies arriving within the watermark
+    horizon are dropped. ``dropDuplicatesWithinWatermark`` evicts per-key
+    state once the watermark passes — bounded state, the requirement for
+    deduping an unbounded 100 TB document stream (plain ``dropDuplicates``
+    state grows forever). Batch analog: ``operators.dedup.exact_dedup``;
+    the fingerprint is the same normalized-md5 as the batch face, so batch
+    backfills and the stream agree on identity."""
+    from ..operators.text import fingerprint
+
+    fp = fingerprint(docs, text_col)
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["doc_fp"])
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: session assembly WITH per-group caps (G1+G3)
 # ---------------------------------------------------------------------------

@@ -227,3 +227,39 @@ def test_metrics_idempotent_under_batch_retry(spark, tmp_path):
         .groupBy("sink").agg(F.sum("num_rows").alias("n")).collect()
     }
     assert twice == once  # metrics idempotent (routed rows stay ALOS append)
+
+
+def test_streaming_dedup_drops_repeat_fingerprints(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    normalized content fingerprint): one survivor per distinct text,
+    whitespace/case variants collapse to the same fingerprint, and the
+    survivor set matches the batch-face identity (dedup.exact_dedup)."""
+    from hypertrace_ingester_spark.streaming.jobs import streaming_dedup
+
+    base = 1_700_000_000_000
+    rows = [
+        (1, base + 0, "the cat sat on the mat"),
+        (2, base + 1_000, "a completely different document"),
+        (3, base + 2_000, "the cat sat on the mat"),        # exact dup of 1
+        (4, base + 3_000, "The  Cat Sat  On The Mat"),      # normalized dup of 1
+        (5, base + 4_000, "a third unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts_ms long, text string")
+    path = str(tmp_path / "docs_in")
+    df.coalesce(1).write.parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema).parquet(path)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = streaming_dedup(stream, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select doc_fp, count(*) n from dedup_out group by doc_fp").collect()
+    assert len(res) == 3                      # 3 distinct fingerprints survive
+    assert all(r["n"] == 1 for r in res)      # exactly one row per fingerprint
