@@ -29,6 +29,15 @@ BPE_CHARS_PER_TOKEN = 4
 # ASCII ellipsis spelled '...' is folded in as the common web form).
 GOPHER_SYMBOL_RE = r"[#…]|\.\.\."
 
+# PII scrub patterns (C4/RefinedWeb-style pre-training scrub). Kept
+# RE2-compatible (no lookarounds) so the DuckDB oracle runs the SAME
+# pattern text; ordered dict = deterministic redaction order.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d -]{7,}\d",
+}
+
 
 def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
@@ -134,6 +143,28 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/RefinedWeb-style PII scrub: per-doc match counts for each
+    ``PII_PATTERNS`` class (on the ORIGINAL text — an address like
+    ``a@1.2.3.4`` legitimately counts as both email and ip) plus
+    ``text_redacted`` with matches replaced by ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` sequentially in pattern order (email first, so an
+    email's host is masked before the ip pass). Pure regexp column
+    expressions — one map stage; patterns are RE2-compatible so the
+    DuckDB oracle evaluates the identical pattern text."""
+    out = docs
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("int"))
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    out = out.withColumn("text_redacted", redacted)
+    return out.withColumn(
+        "pii_free",
+        sum(F.col(f"n_{n}") for n in PII_PATTERNS) == 0,
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All per-doc text metrics in ONE map-stage pass: token counts,
     language ID, quality features, normalized fingerprint, and the distinct
@@ -142,11 +173,14 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fused profile is the shape a real curation pipeline runs."""
     from . import dedup as dd
 
-    return repetition_signals(
-        fingerprint(
-            quality_score(language_id(token_counts(docs, text_col), text_col), text_col),
+    return pii_scrub(
+        repetition_signals(
+            fingerprint(
+                quality_score(language_id(token_counts(docs, text_col), text_col), text_col),
+                text_col,
+            ).withColumn("n_shingles", F.size(dd.shingles(text_col))),
             text_col,
-        ).withColumn("n_shingles", F.size(dd.shingles(text_col))),
+        ),
         text_col,
     )
 

@@ -725,6 +725,13 @@ _STOPS_SQL = {
     for lang, stops in txt.LANG_STOPWORDS.items()
 }
 
+# PII patterns interpolated as VALUES (never inline literals in the rf-SQL:
+# the regex quantifier braces would parse as f-string fields); both engines
+# evaluate the identical RE2-compatible pattern text.
+_PII_EMAIL = txt.PII_PATTERNS["email"]
+_PII_IP = txt.PII_PATTERNS["ip"]
+_PII_PHONE = txt.PII_PATTERNS["phone"]
+
 
 @register(
     "d_text_profile",
@@ -744,7 +751,8 @@ _STOPS_SQL = {
       FROM base
     )
     SELECT *, (alpha_word_frac >= 0.8 AND symbol_word_ratio <= 0.1
-               AND dup_2gram_frac <= 0.2 AND dup_word_frac <= 0.5) AS gopher_keep
+               AND dup_2gram_frac <= 0.2 AND dup_word_frac <= 0.5) AS gopher_keep,
+           (n_email + n_ip + n_phone) = 0 AS pii_free
     FROM (
     SELECT doc_id, lang,
            CAST(len(ws) AS BIGINT) AS n_words,
@@ -765,7 +773,14 @@ _STOPS_SQL = {
            floor((len(ws) - len(list_distinct(ws))) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS dup_word_frac,
            floor((len(bg) - len(list_distinct(bg))) * 1.0 / greatest(len(bg), 1) * 1000 + 0.5) / 1000 AS dup_2gram_frac,
            floor(len(regexp_extract_all(text, '[#…]|\.\.\.')) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS symbol_word_ratio,
-           floor(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS alpha_word_frac
+           floor(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / greatest(len(ws), 1) * 1000 + 0.5) / 1000 AS alpha_word_frac,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
     FROM scored
     )
     """,
@@ -775,11 +790,13 @@ _STOPS_SQL = {
         "stopword ratio, Gopher-shape keep flag), Gopher repetition "
         "filters (duplicate-word / duplicate-2-gram fractions, symbol-to-"
         "word ratio, alpha-word fraction, composite gopher_keep — Rae et "
-        "al. 2021), normalized md5 fingerprint, and the distinct 3-gram "
-        "shingle count (the primitive under MinHash/Jaccard dedup) — ONE "
-        "scan of the text column (text.text_profile); at 100 TB the scan "
-        "dominates, so curation metrics are computed fused, never as six "
-        "passes.",
+        "al. 2021), C4-style PII scrub (email/ip/phone counts, pii_free, "
+        "md5 of the sequentially redacted text — verifying the redaction "
+        "itself end-to-end), normalized md5 fingerprint, and the distinct "
+        "3-gram shingle count (the primitive under MinHash/Jaccard dedup) "
+        "— ONE scan of the text column (text.text_profile); at 100 TB the "
+        "scan dominates, so curation metrics are computed fused, never as "
+        "seven passes.",
 )
 def d_text_profile(spark, sf_dir):
     from .sources import widen
@@ -801,6 +818,11 @@ def d_text_profile(spark, sf_dir):
         "symbol_word_ratio",
         "alpha_word_frac",
         "gopher_keep",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "pii_free",
+        F.md5(F.col("text_redacted")).alias("redacted_fp"),
     )
 
 

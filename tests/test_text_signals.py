@@ -78,3 +78,31 @@ def test_text_profile_carries_repetition_columns(spark):
     assert row["gopher_keep"] is True
     # still one fused frame: prior profile columns intact
     assert row["n_words"] == 9 and row["pred_lang"] == "en"
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = spark.createDataFrame([
+        (1, "contact me at jane.doe+x@example.co.uk for details"),
+        (2, "server 10.0.255.7 answered then 192.168.1.1 timed out"),
+        (3, "call +1 555 123 4567 or +44 20-7946-0958 now"),
+        (4, "mixed user@10.0.0.1.example.com case"),  # email host contains an ip
+        (5, "no personal data here"),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in txt.pii_scrub(docs).collect()}
+
+    assert rows[1]["n_email"] == 1 and rows[1]["pii_free"] is False
+    assert "<EMAIL>" in rows[1]["text_redacted"]
+    assert "jane" not in rows[1]["text_redacted"]
+
+    assert rows[2]["n_ip"] == 2
+    assert rows[2]["text_redacted"].count("<IP>") == 2
+
+    assert rows[3]["n_phone"] == 2
+    assert rows[3]["text_redacted"].count("<PHONE>") == 2
+
+    # email redacts FIRST, so the ip inside it is already masked
+    assert rows[4]["n_email"] == 1 and rows[4]["n_ip"] == 1  # counts overlap by design
+    assert rows[4]["text_redacted"] == "mixed <EMAIL> case"
+
+    assert rows[5]["pii_free"] is True
+    assert rows[5]["text_redacted"] == "no personal data here"
