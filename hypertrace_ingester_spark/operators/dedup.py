@@ -234,6 +234,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the public k-gram collision recipe
+    (GPT-3 appendix C / PaLM: flag a training doc if it shares ANY word
+    13-gram with an eval/benchmark document). Both sides reuse
+    :func:`shingles`; grams travel as 64-bit hashes (never text), the
+    eval side is distinct'd and broadcast (benchmarks ≪ corpus), so the
+    cost at 100 TB is one map-side hash-join over the training gram
+    stream plus one partial-agg'd groupBy on doc id. Returns ``docs``
+    plus ``n_hit_grams`` / ``n_eval_docs_hit`` audit counts and the
+    ``contaminated`` flag."""
+    d_grams = docs.select(
+        id_col, F.explode(shingles(text_col, k)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    e_grams = (
+        eval_docs.select(F.col(id_col).alias("eval_id"),
+                         F.explode(shingles(text_col, k)).alias("g"))
+        .select("eval_id", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    hits = (
+        d_grams.join(F.broadcast(e_grams), "gh")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gh").alias("n_hit_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hit_grams", F.coalesce("n_hit_grams", F.lit(0)).cast("long"))
+        .withColumn("n_eval_docs_hit",
+                    F.coalesce("n_eval_docs_hit", F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_hit_grams") > 0)
+    )
+
+
 SIMHASH_LANE_BITS = 21  # 3 packed counters per long, safe to 2^21-1 words/doc
 _LANE_MASK = (1 << SIMHASH_LANE_BITS) - 1
 

@@ -228,3 +228,34 @@ def test_simhash_md5_variant_same_machinery_as_default(spark):
     # explicitly passing the default hash reproduces the default output
     again = dd.simhash(docs, word_hash=F.xxhash64)
     assert default.exceptAll(again).count() == 0
+
+
+def test_decontaminate_13gram_collision(spark):
+    """GPT-3/PaLM recipe: a train doc is contaminated iff it shares a full
+    13-gram with an eval doc; a 12-word overlap must NOT flag."""
+    from pyspark.sql import functions as F
+
+    from hypertrace_ingester_spark.operators import dedup as dd
+
+    eval_words = [f"e{i}" for i in range(20)]
+    eval_docs = spark.createDataFrame(
+        [(900, " ".join(eval_words))], "doc_id long, text string")
+
+    train = spark.createDataFrame([
+        # shares eval words 3..15 (13 consecutive) -> contaminated
+        (1, "intro " + " ".join(eval_words[3:16]) + " outro"),
+        # shares only 12 consecutive eval words -> clean
+        (2, "intro " + " ".join(eval_words[3:15]) + " outro"),
+        (3, "totally unrelated content with many plain words here"),
+        # verbatim copy of the whole eval doc -> contaminated, many grams
+        (4, " ".join(eval_words)),
+    ], "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in dd.decontaminate(train, eval_docs).collect()}
+    assert out[1]["contaminated"] is True and out[1]["n_hit_grams"] == 1
+    assert out[2]["contaminated"] is False and out[2]["n_hit_grams"] == 0
+    assert out[3]["contaminated"] is False
+    assert out[4]["contaminated"] is True and out[4]["n_hit_grams"] == 8  # 20-13+1
+    assert out[4]["n_eval_docs_hit"] == 1
+    # flag column rides on the original frame: all docs present
+    assert set(out) == {1, 2, 3, 4}
