@@ -192,3 +192,112 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pipeline in dedup.py."""
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return docs.withColumn("doc_fp", F.md5(normalized))
+
+
+def _bigram_structs(text_col: str) -> Column:
+    """Adjacent word pairs as struct<w_prev, w>, built map-side from the
+    words array (no self-join, no window)."""
+    w = _words(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(2), F.size(w)),
+        lambda i: F.struct(
+            F.element_at(w, i - 1).alias("w_prev"), F.element_at(w, i).alias("w")
+        ),
+    )
+    return F.when(F.size(w) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w_prev:string,w:string>>")
+    )
+
+
+def train_bigram_lm(model_docs: DataFrame, text_col: str = "text"):
+    """Count tables for a word-bigram LM with add-alpha smoothing — the
+    CCNet-style quality model (Wenzek et al. 2020 train a small LM on a
+    trusted corpus and score crawl docs by perplexity; this is the n-gram
+    form of that recipe, kept in pure DataFrame ops so training IS a
+    distributed aggregation).
+
+    Returns ``(uni, bi, stats)``: unigram counts ``(w, c1)``, bigram counts
+    ``(w_prev, w, c2)``, and a single-row ``(vocab, total_tokens)`` frame.
+    Scale shape: token/bigram streams are built map-side from the words
+    array (no self-join); each count table is one partial-agg'd shuffle on
+    the gram key; the trusted training corpus is normally ≪ the scored
+    corpus, so the count tables broadcast at score time."""
+    tokens = model_docs.select(F.explode(_words(text_col)).alias("w"))
+    uni = tokens.groupBy("w").agg(F.count("*").cast("long").alias("c1"))
+    bi = (
+        model_docs.select(F.explode(_bigram_structs(text_col)).alias("b"))
+        .select("b.w_prev", "b.w")
+        .groupBy("w_prev", "w")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    stats = uni.agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("c1").cast("long").alias("total_tokens"),
+    )
+    return uni, bi, stats
+
+
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc bigram-LM perplexity (CCNet quality filter): score each doc
+    by the add-alpha-smoothed average negative log-likelihood under a
+    bigram model (``model`` from :func:`train_bigram_lm`; defaults to
+    self-training on ``docs``) —
+
+        p(w_1)         = (c1(w_1) + α) / (T + α·V)
+        p(w_i|w_{i-1}) = (c2(w_{i-1}, w_i) + α) / (c1(w_{i-1}) + α·V)
+        ppl(doc)       = exp(−Σ ln p / n_terms)
+
+    Unseen words/bigrams fall back to the α mass (counts coalesce to 0).
+    Returns ``(doc_id, n_terms, sum_logp, ppl)``. Scale shape: the doc side
+    explodes map-side; the two count joins broadcast when the model corpus
+    is small (the CCNet case) or shuffle on the gram key otherwise; the
+    final rollup is one partial-agg'd groupBy on the doc id. ``alpha``
+    defaults to 0.5 (binary-exact, keeps the DuckDB oracle bit-stable)."""
+    uni, bi, stats = model if model is not None else train_bigram_lm(docs, text_col)
+    b_stats = F.broadcast(stats)
+
+    firsts = docs.select(
+        F.col(id_col), F.element_at(_words(text_col), 1).alias("w")
+    )
+    first_terms = (
+        firsts.join(uni, "w", "left")
+        .crossJoin(b_stats)
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce("c1", F.lit(0)) + F.lit(alpha))
+                / (F.col("total_tokens") + F.lit(alpha) * F.col("vocab"))
+            ).alias("logp"),
+        )
+    )
+    doc_bi = docs.select(
+        F.col(id_col), F.explode(_bigram_structs(text_col)).alias("b")
+    ).select(id_col, "b.w_prev", "b.w")
+    prev_uni = uni.select(F.col("w").alias("w_prev"), F.col("c1").alias("c1_prev"))
+    bi_terms = (
+        doc_bi.join(bi, ["w_prev", "w"], "left")
+        .join(prev_uni, "w_prev", "left")
+        .crossJoin(b_stats)
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce("c2", F.lit(0)) + F.lit(alpha))
+                / (F.coalesce("c1_prev", F.lit(0)) + F.lit(alpha) * F.col("vocab"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        first_terms.unionByName(bi_terms)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("logp").alias("sum_logp"),
+        )
+        .withColumn("ppl", F.exp(-F.col("sum_logp") / F.col("n_terms")))
+    )
