@@ -99,3 +99,106 @@ def mixture_sample(docs: DataFrame, target: dict[str, float],
         with_tokens.where(_unit_hash(key, seed) < frac_col)
         .drop("_mix_tokens")
     )
+
+
+def pack_offsets(
+    docs: DataFrame,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    block_tokens: int = 2048,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Sequence packing, GPT-2 concat-and-chunk form: concatenate every
+    doc's tokens in ascending ``order_col`` order and cut the stream into
+    fixed ``block_tokens`` training sequences. The deliverable is each
+    doc's deterministic GLOBAL token offset plus the block range it lands
+    in — the assignment every pretraining pipeline needs before writing
+    packed sequences.
+
+    The global offset is an exclusive prefix sum, computed WITHOUT a
+    single-partition window (the naive ``Window.orderBy`` with no
+    partitionBy collapses the corpus onto one task): the classic
+    distributed two-phase prefix — (1) bucket docs by ``order_col`` range
+    and aggregate per-bucket token totals (one partial-agg'd shuffle,
+    ``buckets`` rows), (2) the driver prefix-sums that bounded dim (like
+    any dim-table collect) and broadcasts base offsets back, (3) a window
+    partitioned BY BUCKET computes the intra-bucket exclusive cumsum in
+    parallel. Rows with ``tokens_col <= 0`` are excluded (they occupy no
+    stream positions).
+
+    Returns ``docs`` + ``tok_offset``, ``first_block``, ``last_block``,
+    ``n_blocks`` (all long)."""
+    from pyspark.sql.window import Window
+
+    live = docs.where(F.col(tokens_col) > 0)
+    max_id = live.agg(F.max(order_col).alias("m")).first()["m"]
+    if max_id is None:
+        return (
+            docs.limit(0)
+            .withColumn("tok_offset", F.lit(0).cast("long"))
+            .withColumn("first_block", F.lit(0).cast("long"))
+            .withColumn("last_block", F.lit(0).cast("long"))
+            .withColumn("n_blocks", F.lit(0).cast("long"))
+        )
+    span = max(1, (int(max_id) + buckets) // buckets)
+    bucketed = live.withColumn(
+        "_pk_bucket", (F.col(order_col) / F.lit(span)).cast("long")
+    )
+    totals = {
+        r["_pk_bucket"]: r["t"]
+        for r in bucketed.groupBy("_pk_bucket")
+        .agg(F.sum(tokens_col).cast("long").alias("t"))
+        .collect()
+    }
+    bases, running = [], 0
+    for b in sorted(totals):
+        bases.append((b, running))
+        running += totals[b]
+    base_df = docs.sparkSession.createDataFrame(bases, "_pk_bucket long, _pk_base long")
+    w = (
+        Window.partitionBy("_pk_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0))
+    L = F.lit(int(block_tokens))
+    return (
+        bucketed.join(F.broadcast(base_df), "_pk_bucket")
+        .withColumn("tok_offset", (F.col("_pk_base") + intra).cast("long"))
+        .withColumn("first_block", F.floor(F.col("tok_offset") / L).cast("long"))
+        .withColumn(
+            "last_block",
+            F.floor((F.col("tok_offset") + F.col(tokens_col) - 1) / L).cast("long"),
+        )
+        .withColumn("n_blocks", (F.col("last_block") - F.col("first_block") + 1))
+        .drop("_pk_bucket", "_pk_base")
+    )
+
+
+def pack_blocks(
+    packed: DataFrame,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    block_tokens: int = 2048,
+) -> DataFrame:
+    """Explode :func:`pack_offsets` output into per-(block, doc) slices —
+    the write plan for materializing packed sequences: for every training
+    block, which doc supplies tokens [tok_start, tok_end) within it.
+    Map-side explode over ``sequence(first_block, last_block)`` (a doc
+    spans ``n_blocks`` ≈ doc_len/block_tokens entries); writers then
+    ``groupBy(block_id)`` — one shuffle keyed by block."""
+    L = F.lit(int(block_tokens))
+    out = packed.select(
+        F.col(id_col),
+        F.col("tok_offset"),
+        (F.col("tok_offset") + F.col(tokens_col)).alias("_pk_end"),
+        F.explode(F.sequence("first_block", "last_block")).alias("block_id"),
+    )
+    return out.select(
+        "block_id",
+        id_col,
+        (F.greatest(F.col("tok_offset"), F.col("block_id") * L)
+         - F.col("block_id") * L).cast("long").alias("tok_start"),
+        (F.least(F.col("_pk_end"), (F.col("block_id") + 1) * L)
+         - F.col("block_id") * L).cast("long").alias("tok_end"),
+    ).withColumn("n_toks", (F.col("tok_end") - F.col("tok_start")).cast("long"))
