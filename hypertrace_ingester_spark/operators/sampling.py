@@ -202,3 +202,106 @@ def pack_blocks(
         (F.least(F.col("_pk_end"), (F.col("block_id") + 1) * L)
          - F.col("block_id") * L).cast("long").alias("tok_end"),
     ).withColumn("n_toks", (F.col("tok_end") - F.col("tok_start")).cast("long"))
+
+
+def _gram_stream(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) rows: unigrams + space-joined bigrams, built map-side
+    from the words array (the DSIR feature set, Xie et al. 2023 §3)."""
+    w = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(w)),
+            lambda i: F.concat_ws(" ", F.element_at(w, i - 1), F.element_at(w, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("_ds_id"),
+        F.explode(F.concat(w, bigrams)).alias("gram"),
+    )
+
+
+def _bucket_counts(grams: DataFrame, bucket_col) -> DataFrame:
+    return (
+        grams.select(bucket_col.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    alpha: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): fit two hashed-n-gram bag models — p from the
+    trusted ``target_docs``, q from ``raw_docs`` — and score every raw doc
+    by ``log w = Σ_grams (ln p[h(g)] − ln q[h(g)])`` with add-alpha
+    smoothing over the ``n_buckets`` hash buckets. High-weight docs look
+    like the target distribution.
+
+    Scale shape: gram streams are map-side explodes; each model is one
+    partial-agg'd shuffle onto a ``n_buckets``-bounded table; the log-ratio
+    table (≤ n_buckets rows) broadcasts into the scoring join; the rollup
+    is one partial-agg'd groupBy on the doc id — no sort, no all-pairs.
+
+    ``hash_mode``: ``xxhash64`` (production, JVM hash) or ``md5`` (the
+    engine-shared :func:`~..operators.dedup.md5_word_hash` arithmetic, so a
+    DuckDB oracle can restate bucketing bit-identically — the simhash
+    pattern). Returns ``(doc_id, n_grams, log_weight)``."""
+    from .dedup import md5_word_hash
+
+    def bucket(col):
+        h = md5_word_hash(col) if hash_mode == "md5" else F.xxhash64(col)
+        return F.pmod(h, F.lit(n_buckets)).cast("long")
+
+    raw_grams = _gram_stream(raw_docs, text_col, id_col)
+    tgt_grams = _gram_stream(target_docs, text_col, id_col)
+    p_counts = _bucket_counts(tgt_grams, bucket(F.col("gram")))
+    q_counts = _bucket_counts(raw_grams, bucket(F.col("gram")))
+    p_tot = tgt_grams.count()
+    q_tot = raw_grams.count()
+    aB = alpha * n_buckets
+    ratio = (
+        p_counts.withColumnRenamed("c", "cp")
+        .join(q_counts.withColumnRenamed("c", "cq"), "b", "full")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("cp", F.lit(0)) + F.lit(alpha)) / F.lit(p_tot + aB))
+                - F.log((F.coalesce("cq", F.lit(0)) + F.lit(alpha)) / F.lit(q_tot + aB))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        raw_grams.withColumn("b", bucket(F.col("gram")))
+        .join(F.broadcast(ratio), "b")
+        .groupBy(F.col("_ds_id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    weights: DataFrame,
+    keep_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of raw docs by DSIR log-weight: one
+    exact-percentile aggregate fixes the threshold (at 100 TB swap in
+    ``percentile_approx`` — same plan shape, no global sort either way),
+    then one broadcast-threshold scan."""
+    thr = weights.agg(
+        F.expr(f"percentile(log_weight, {1.0 - keep_frac})").alias("t")
+    ).first()["t"]
+    return raw_docs.join(
+        weights.where(F.col("log_weight") >= F.lit(thr)).select(id_col), id_col
+    )
