@@ -1,0 +1,151 @@
+"""End-to-end corpus curation plan — chains the training-data operators
+into the standard web-scale assembly pipeline (the documents-table
+counterpart of plans/pipeline.py's span topology):
+
+    profile (ONE fused text scan) → quality + Gopher filter → PII redaction
+    → exact dedup → MinHash near-dup clustering → canonical keep
+    → benchmark decontamination → mixture sampling → train/val/test split
+    → sequence packing (train split)
+
+Every stage is the already-verified operator (COVERAGE.md maps each to its
+oracle); this plan contributes the composition, a per-stage manifest
+(row/token counts, like run_pipeline's), and the stage ordering a real
+pipeline uses: all map-side filters run BEFORE any dedup shuffle so the
+expensive stages see the smallest corpus, and near-dup clustering runs on
+the exact-deduped survivors only.
+
+Scale notes: profile + filters are one codegen'd map stage; exact dedup is
+one content-hash shuffle; the near-dup stage shuffles narrow (id, band)
+rows (see dedup.minhash_near_dups); the filtered corpus is
+localCheckpoint'd once before fan-in counting so manifest actions don't
+recompute the profile scan.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import sampling as sp
+from ..operators import text as tx
+
+
+@dataclass
+class CurationConfig:
+    gopher_filter: bool = True
+    quality_filter: bool = True
+    redact_pii: bool = True
+    near_dup: bool = True
+    jaccard_threshold: float = 0.5
+    decontaminate_k: int = 13
+    mixture: dict[str, float] | None = None
+    split_weights: dict[str, float] | None = field(
+        default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    block_tokens: int = 2048
+    seed: int = 0
+
+
+def _tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    config: CurationConfig | None = None,
+) -> tuple[DataFrame, dict]:
+    """Run the curation pipeline; returns ``(curated, manifest)`` where
+    ``curated`` carries ``doc_id, source, text, n_tokens, split`` plus
+    packing columns on the train split, and ``manifest`` records per-stage
+    row and token counts (the audit trail a 100 TB curation run ships with
+    its output)."""
+    cfg = config or CurationConfig()
+    t0 = time.time()
+    manifest: dict = {"stages": {}}
+
+    def record(name: str, df: DataFrame) -> None:
+        agg = df.agg(
+            F.count("*").alias("rows"), F.sum("n_tokens").alias("tokens")
+        ).first()
+        manifest["stages"][name] = {
+            "rows": agg["rows"],
+            "tokens": int(agg["tokens"] or 0),
+        }
+
+    base_cols = [c for c in ("doc_id", "source", "lang") if c in docs.columns]
+    record("input", _tokens(docs))
+
+    # 1) fused profile scan + map-side filters
+    prof = tx.text_profile(docs)
+    keep = F.lit(True)
+    if cfg.quality_filter:
+        keep = keep & F.col("quality_keep")
+    if cfg.gopher_filter:
+        keep = keep & F.col("gopher_keep")
+    text_out = F.col("text_redacted") if cfg.redact_pii else F.col("text")
+    filtered = _tokens(
+        prof.where(keep).select(*base_cols, text_out.alias("text"))
+    ).localCheckpoint(eager=False)
+    record("filtered", filtered)
+
+    # 2) exact dedup: keep the minimum doc id per content hash
+    keep_ids = dd.exact_dedup(filtered).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    exact = filtered.join(keep_ids, "doc_id")
+    record("exact_dedup", exact)
+
+    # 3) near-dup clustering → canonical keep
+    if cfg.near_dup:
+        pairs = dd.minhash_near_dups(exact, threshold=cfg.jaccard_threshold)
+        clusters = dd.duplicate_clusters(pairs)
+        deduped = dd.keep_canonical(exact, clusters)
+    else:
+        deduped = exact
+    record("near_dedup", deduped)
+
+    # 4) benchmark decontamination
+    if eval_docs is not None:
+        flagged = dd.decontaminate(deduped, eval_docs, k=cfg.decontaminate_k)
+        clean = flagged.where(~F.col("contaminated")).drop(
+            "n_hit_grams", "n_eval_docs_hit", "contaminated"
+        )
+    else:
+        clean = deduped
+    record("decontaminated", clean)
+
+    # 5) mixture sampling (token-budgeted per-source proportions)
+    mixed = (
+        sp.mixture_sample(clean, cfg.mixture, seed=cfg.seed + 7)
+        if cfg.mixture
+        else clean
+    )
+    mixed = _tokens(mixed.drop("n_tokens"))
+    record("mixed", mixed)
+
+    # 6) deterministic split
+    split = sp.hash_split(mixed, cfg.split_weights, seed=cfg.seed)
+
+    # 7) pack the train split
+    train = split.where(F.col("split") == "train")
+    packed = sp.pack_offsets(train, block_tokens=cfg.block_tokens)
+    rest = split.where(F.col("split") != "train")
+    curated = packed.unionByName(rest, allowMissingColumns=True)
+    record("train_packed", packed)
+    manifest["stages"]["train_packed"]["blocks"] = int(
+        packed.agg(F.max("last_block")).first()[0] or -1
+    ) + 1
+    manifest["split_counts"] = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    manifest["elapsed_sec"] = round(time.time() - t0, 2)
+    return curated, manifest

@@ -1,0 +1,93 @@
+"""End-to-end curation plan: composition invariants over the verified
+operators (each stage's semantics is oracle-tested on its own — see
+COVERAGE.md; this pins the chain, the manifest audit trail, and
+determinism)."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hypertrace_ingester_spark.plans.curation import CurationConfig, run_curation
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata dir {SF_DIR} missing"
+)
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    eval_docs = docs.where("doc_id % 97 = 0").select(
+        "doc_id", "text"
+    )  # synthetic benchmark set: guaranteed verbatim overlap
+    out, manifest = run_curation(spark, docs, eval_docs=eval_docs)
+    return out.localCheckpoint(), manifest
+
+
+def test_stage_counts_monotone(curated):
+    _, manifest = curated
+    s = manifest["stages"]
+    assert s["input"]["rows"] > 0
+    # every stage only ever removes rows
+    order = ["input", "filtered", "exact_dedup", "near_dedup",
+             "decontaminated", "mixed"]
+    rows = [s[k]["rows"] for k in order]
+    assert all(a >= b for a, b in zip(rows, rows[1:])), rows
+    assert s["decontaminated"]["rows"] < s["near_dedup"]["rows"]  # eval overlap removed
+    assert s["train_packed"]["rows"] == manifest["split_counts"].get("train", 0)
+    assert s["train_packed"]["blocks"] >= 1
+
+
+def test_output_schema_and_packing(curated):
+    out, manifest = curated
+    for c in ("doc_id", "source", "text", "n_tokens", "split",
+              "tok_offset", "first_block", "n_blocks"):
+        assert c in out.columns, c
+    train = out.where("split = 'train'")
+    # train rows all packed; offsets strictly increasing with doc_id
+    assert train.where(F.col("tok_offset").isNull()).count() == 0
+    rows = train.select("doc_id", "tok_offset", "n_tokens").orderBy("doc_id").collect()
+    off = 0
+    for r in rows:
+        assert r["tok_offset"] == off
+        off += r["n_tokens"]
+    assert off == manifest["stages"]["train_packed"]["tokens"]
+    # non-train rows carry null packing columns
+    assert out.where("split != 'train' AND tok_offset IS NOT NULL").count() == 0
+
+
+def test_curation_is_deterministic(spark, curated):
+    out1, m1 = curated
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    eval_docs = docs.where("doc_id % 97 = 0").select("doc_id", "text")
+    out2, m2 = run_curation(spark, docs, eval_docs=eval_docs)
+    assert m1["stages"] == m2["stages"]
+    a = {r["doc_id"]: r["tok_offset"] for r in out1.select("doc_id", "tok_offset").collect()}
+    b = {r["doc_id"]: r["tok_offset"] for r in out2.select("doc_id", "tok_offset").collect()}
+    assert a == b
+
+
+def test_no_pii_in_curated_text(curated):
+    out, _ = curated
+    from hypertrace_ingester_spark.operators.text import PII_PATTERNS
+
+    for name, pat in PII_PATTERNS.items():
+        leaked = out.where(F.col("text").rlike(pat)).count()
+        assert leaked == 0, f"{name} pattern survived redaction"
+
+
+def test_curation_mixture_path(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    cfg = CurationConfig(
+        gopher_filter=False, near_dup=False,
+        mixture={"src0": 0.4, "src1": 0.4, "src2": 0.2},
+    )
+    out, m = run_curation(spark, docs, config=cfg)
+    sources = {r["source"] for r in out.select("source").distinct().collect()}
+    assert sources <= {"src0", "src1", "src2"}
+    assert 0 < m["stages"]["mixed"]["rows"] <= m["stages"]["decontaminated"]["rows"]
+    assert m["stages"]["train_packed"]["blocks"] >= 1
