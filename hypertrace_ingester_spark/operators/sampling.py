@@ -305,3 +305,45 @@ def dsir_select(
     return raw_docs.join(
         weights.where(F.col("log_weight") >= F.lit(thr)).select(id_col), id_col
     )
+
+
+def cluster_balanced_sample(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    dim: int | None = None,
+    n_clusters: int = 16,
+    target: dict[int, float] | None = None,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    seed: int = 11,
+) -> DataFrame:
+    """Semantic-cluster-balanced sampling — the "discover domains by
+    clustering, then balance the mixture" recipe (the unsupervised
+    counterpart of source-keyed mixing, cf. DoReMi's domain reweighting /
+    SemDeDup's cluster partitioning): k-means cells over the embedding
+    column become pseudo-sources and :func:`mixture_sample` equalizes
+    TOKEN mass across them (or hits ``target`` proportions keyed by
+    cluster id).
+
+    Scale shape: centroid fit is the bounded seeded driver-sample
+    (similarity.fit_centroids); assignment is the pass-through
+    ``mapInPandas`` signer (no join-back shuffle); then one broadcastable
+    id→cluster join onto docs and the single-scan hash filter from
+    mixture_sample. Returns docs + ``cluster`` with balanced token mass."""
+    from .similarity import fit_centroids, ivf_assign
+
+    if dim is None:
+        dim = len(embeddings.select(vec_id_col, "embedding").first()["embedding"])
+    cents = fit_centroids(embeddings, dim, n_cells=n_clusters)
+    assign = ivf_assign(
+        embeddings, dim, n_clusters, nprobe=1, id_col=vec_id_col, centroids=cents
+    ).select(F.col(vec_id_col).alias(id_col), F.col("cell").alias("cluster"))
+    docs_c = docs.join(assign, id_col)
+    observed = [r["cluster"] for r in docs_c.select("cluster").distinct().collect()]
+    want = target or {c: 1.0 for c in observed}
+    mixed = mixture_sample(
+        docs_c, {c: w for c, w in want.items() if c in observed},
+        source_col="cluster", text_col=text_col, key=id_col, seed=seed,
+    )
+    return mixed

@@ -63,3 +63,29 @@ def test_mixture_sample_binding_source_kept_whole(spark):
     n_books_in = docs.where("source = 'books'").count()
     n_books_out = out.where("source = 'books'").count()
     assert n_books_out == n_books_in
+
+
+def test_cluster_balanced_sample(spark):
+    import os
+    sampling = smp
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip("testdata missing")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = sampling.cluster_balanced_sample(docs, emb, n_clusters=4)
+    tot = {
+        r["cluster"]: r["t"]
+        for r in out.withColumn("_t", F.size(F.split("text", " ")))
+        .groupBy("cluster").agg(F.sum("_t").alias("t")).collect()
+    }
+    assert len(tot) == 4
+    # uniform target scaled to the binding cluster: every cluster's sampled
+    # token mass sits near the smallest cluster's total (hash quantization
+    # noise at ~125 docs/cluster)
+    lo, hi = min(tot.values()), max(tot.values())
+    assert hi <= 2.0 * lo, tot
+    # deterministic
+    out2 = sampling.cluster_balanced_sample(docs, emb, n_clusters=4)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in out2.select("doc_id").collect())
