@@ -559,3 +559,158 @@ def line_dedup(
         )
         .drop("_n_lines_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-level exact-substring dedup (ExactSubstr at L-gram granularity)
+# ---------------------------------------------------------------------------
+
+
+def token_grams(
+    seqs: DataFrame,
+    length: int,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """``(id, pos, gh)`` stream of every ``length``-token window hash.
+
+    ``pos`` is 0-based; docs shorter than ``length`` emit nothing. The gram
+    identity is ``xxhash64`` over the token slice, so grams travel as one
+    64-bit long (never the token payload) — the same narrow-gram-stream
+    design as :func:`decontaminate`. Hashing is O(n·L) slice work but stays
+    entirely inside whole-stage codegen; a collision drops one innocent
+    window per ~4B distinct grams (documented, standard for this recipe).
+    """
+    return (
+        widen(seqs.select(id_col, tok_col))
+        .where(F.size(tok_col) >= length)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tok_col) - length),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.xxhash64(F.slice(tok_col, i + 1, length)).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+
+
+def duplicated_span_marks(
+    seqs: DataFrame,
+    length: int,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """``(id, pos)`` of every NON-FIRST occurrence of a duplicated
+    ``length``-token gram, corpus-wide, ordered by ``(doc_id, pos)``.
+
+    Scale shape (100 TB): like :func:`line_dedup`, the decisive choice is
+    ``groupBy(gh) → min(struct(doc_id, pos))`` — a boilerplate window
+    (license header, chat template preamble) occurs billions of times and
+    map-side partial aggregation collapses the copies BEFORE the shuffle,
+    where a ``row_number`` window would sort them all inside one skewed
+    partition. Only duplicated grams (count > 1 — typically a small
+    fraction of the stream) come back as the join side, so the mark join
+    is gram-stream ⋈ narrow-duplicate-dim; AQE's skew-join handles the
+    billion-copy gram whose marks are inherently that many rows.
+    """
+    grams = token_grams(seqs, length, id_col, tok_col)
+    dup_firsts = (
+        grams.groupBy("gh")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("first"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") > 1)
+        .select("gh", "first")
+    )
+    return (
+        grams.join(dup_firsts, "gh")
+        .where(
+            (F.col(id_col) != F.col("first.d")) | (F.col("pos") != F.col("first.p"))
+        )
+        .select(id_col, "pos")
+    )
+
+
+def substring_dedup(
+    seqs: DataFrame,
+    length: int = 50,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    n_col: str | None = "n_tok",
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup over the token payload — the
+    ExactSubstr recipe of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), at ``length``-gram granularity: every
+    occurrence of a duplicated ``length``-token window EXCEPT the corpus
+    first (ordered by ``(doc_id, pos)``) is cut out of its document, and
+    the doc is rebuilt from the surviving tokens in order. Overlapping
+    duplicated windows merge into one cut span, so a verbatim 500-token
+    boilerplate block shared by two docs survives exactly once, byte for
+    byte — the paper's semantics at gram granularity (the suffix-array
+    original detects duplicates down to exactly 50 tokens mid-span; the
+    gram form detects any duplicated run ≥ ``length``, the standard
+    distributed approximation).
+
+    Plan at 100 TB: one partial-agg'd shuffle of the 64-bit gram stream,
+    one gram ⋈ duplicate-dim join, one narrow (id, pos) roll-up, then ONE
+    join that moves the token payload (docs ⋈ per-doc marks) — the payload
+    is never exploded. The span cut itself is an O(n) Arrow-batched numpy
+    difference-array mask (``np.add.at`` + ``cumsum``) inside
+    ``mapInPandas``, never per-token JVM ``exists`` scans (worst case
+    O(n·marks)) and never a per-row Python loop over tokens.
+
+    Returns ``seqs``'s columns with ``tok_col`` rebuilt, ``n_col`` (when
+    present) recomputed, and ``n_tok_dropped`` appended. Docs cut to zero
+    tokens remain as empty arrays — filter ``n_tok > 0`` downstream (the
+    curation plan does).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    from pyspark.sql import types as T
+
+    marks = (
+        duplicated_span_marks(seqs, length, id_col, tok_col)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_marks"))
+    )
+    joined = seqs.join(marks, id_col, "left")
+
+    fields = [f for f in seqs.schema.fields]
+    out_schema = T.StructType(
+        fields + [T.StructField("n_tok_dropped", T.LongType(), False)]
+    )
+    def _cut(batches):
+        import numpy as np
+
+        for pdf in batches:
+            marks_s = pdf.pop("_marks")
+            toks_out, dropped = [], []
+            for toks, ms in zip(pdf[tok_col], marks_s):
+                toks = np.asarray(toks)
+                if ms is None or not hasattr(ms, "__len__") or len(ms) == 0:
+                    toks_out.append(toks)
+                    dropped.append(0)
+                    continue
+                n = len(toks)
+                ms = np.asarray(ms, dtype=np.int64)
+                delta = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(delta, ms, 1)
+                np.add.at(delta, np.minimum(ms + length, n), -1)
+                covered = np.cumsum(delta[:n]) > 0
+                toks_out.append(toks[~covered])
+                dropped.append(int(covered.sum()))
+            pdf[tok_col] = toks_out
+            if n_col and n_col in pdf.columns:
+                pdf[n_col] = [len(t) for t in toks_out]
+            pdf["n_tok_dropped"] = dropped
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return joined.mapInPandas(_cut, schema=out_schema)
