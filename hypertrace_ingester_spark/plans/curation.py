@@ -4,6 +4,7 @@ counterpart of plans/pipeline.py's span topology):
 
     profile (ONE fused text scan) → quality + Gopher filter → PII redaction
     → exact dedup → MinHash near-dup clustering → canonical keep
+    → [opt-in exact-substring dedup at word-token grain]
     → benchmark decontamination → mixture sampling → train/val/test split
     → sequence packing (train split)
 
@@ -41,6 +42,13 @@ class CurationConfig:
     redact_pii: bool = True
     near_dup: bool = True
     jaccard_threshold: float = 0.5
+    # opt-in ExactSubstr stage (Lee et al. 2021) at word-token grain: every
+    # non-first occurrence of a duplicated run of >= this many tokens is cut
+    # (dedup.substring_dedup is element-type agnostic — the same gram-hash /
+    # span-cut plan that dedups int32 token ids runs on the word arrays).
+    # Runs AFTER doc-level near-dup so the gram stream sees the smallest
+    # corpus; docs cut to zero tokens vanish.
+    exact_substr_length: int | None = None
     decontaminate_k: int = 13
     mixture: dict[str, float] | None = None
     split_weights: dict[str, float] | None = field(
@@ -111,6 +119,21 @@ def run_curation(
     else:
         deduped = exact
     record("near_dedup", deduped)
+
+    # 3b) opt-in exact-substring dedup at word-token grain
+    if cfg.exact_substr_length:
+        cut = dd.substring_dedup(
+            deduped.withColumn("_toks", F.split("text", " ")),
+            length=cfg.exact_substr_length,
+            tok_col="_toks",
+            n_col=None,
+        )
+        deduped = _tokens(
+            cut.where(F.size("_toks") > 0)
+            .withColumn("text", F.array_join("_toks", " "))
+            .drop("_toks", "n_tok_dropped", "n_tokens")
+        )
+        record("substring_dedup", deduped)
 
     # 4) benchmark decontamination
     if eval_docs is not None:

@@ -91,3 +91,28 @@ def test_curation_mixture_path(spark):
     assert sources <= {"src0", "src1", "src2"}
     assert 0 < m["stages"]["mixed"]["rows"] <= m["stages"]["decontaminated"]["rows"]
     assert m["stages"]["train_packed"]["blocks"] >= 1
+
+
+def test_exact_substr_stage(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    boiler = "terms of service apply to all content on this mirror site"
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 9 == 2, F.concat("text", F.lit(" " + boiler)))
+        .otherwise(F.col("text")),
+    )
+    out, manifest = run_curation(
+        spark,
+        planted,
+        config=CurationConfig(
+            quality_filter=False, gopher_filter=False, redact_pii=False,
+            exact_substr_length=8,
+        ),
+    )
+    s = manifest["stages"]
+    assert "substring_dedup" in s
+    assert s["substring_dedup"]["tokens"] < s["near_dedup"]["tokens"]
+    assert s["substring_dedup"]["rows"] <= s["near_dedup"]["rows"]
+    # the planted boilerplate run (11 words >= L=8) survives exactly once
+    survivors = out.where(F.col("text").contains(boiler)).count()
+    assert survivors == 1
