@@ -564,3 +564,91 @@ def embedding_near_dups_lsh(
         # costs the bandwidth this box's ceiling table is about)
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs
+
+
+def semdedup(
+    vectors: DataFrame,
+    dim: int | None = None,
+    n_cells: int = IVF_CELLS,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells.
+
+    The paper's recipe, each step an already-verified operator:
+    (1) k-means cells over the embedding column (``fit_centroids`` —
+    bounded seeded driver sample — + the pass-through ``ivf_assign``
+    signer, no join-back shuffle); (2) exact cosine near-dup pairs only
+    WITHIN each cell (``embedding_near_dups`` blocked on ``cell`` — the
+    cell bound is exactly the paper's trick for avoiding the corpus-wide
+    all-pairs); (3) connected components over the pair graph
+    (``dedup.duplicate_clusters``, pointer-doubling min-label); (4) per
+    duplicate group keep the exemplar with the LOWEST cosine similarity to
+    its cluster centroid — the paper's keep-rule (§3: retaining the most
+    atypical point of each duplicate group maximizes diversity), with the
+    vector id as the deterministic tie-break.
+
+    Returns the SURVIVING rows of ``vectors`` (projected to ``id_col`` +
+    ``vec_col``) plus audit columns: ``cell``, ``cent_sim`` (cosine to the
+    assigned centroid), and ``semdedup_cluster`` (null for vectors that
+    had no near-duplicate). Join back on ``id_col`` to filter a docs table.
+
+    Scale shape: one Arrow pass to assign cells, one self-join shuffle
+    keyed by cell (per-cell work bounded by cell size — raise ``n_cells``
+    so cells stay bounded at corpus scale), narrow CC rounds, and one
+    partial-agg'd min(struct) per duplicate group. The centroid dim is
+    ``n_cells`` rows, broadcast.
+    """
+    from .dedup import duplicate_clusters
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    cents = (
+        fit_centroids(vectors, dim, n_cells, vec_col=vec_col)
+        if centroids is None
+        else centroids
+    )
+    assigned = ivf_assign(
+        vectors, dim, n_cells, nprobe=1, id_col=id_col, vec_col=vec_col,
+        centroids=cents,
+    )
+    spark = vectors.sparkSession
+    cdim = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell bigint, _cvec array<double>",
+    )
+    scored = (
+        assigned.join(F.broadcast(cdim), "cell")
+        .withColumn(
+            "cent_sim",
+            _dot(F.col(vec_col).cast("array<double>"), F.col("_cvec"))
+            / (F.col("vnorm") * _norm(F.col("_cvec"))),
+        )
+        .drop("_cvec")
+    )
+    pairs = embedding_near_dups(
+        scored, block_cols=["cell"], threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    clusters = duplicate_clusters(pairs, a_col="id_a", b_col="id_b").select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_id").alias("semdedup_cluster"),
+    )
+    labeled = scored.join(clusters, id_col, "left")
+    keepers = (
+        labeled.where(F.col("semdedup_cluster").isNotNull())
+        .groupBy("semdedup_cluster")
+        .agg(
+            F.min(
+                F.struct(F.col("cent_sim").alias("s"), F.col(id_col).alias("i"))
+            ).alias("k")
+        )
+        .select(F.col("k.i").alias(id_col), F.lit(True).alias("_keep"))
+    )
+    return (
+        labeled.join(keepers, id_col, "left")
+        .where(F.col("semdedup_cluster").isNull() | F.col("_keep").isNotNull())
+        .drop("_keep", "vnorm")
+    )
