@@ -347,3 +347,76 @@ def cluster_balanced_sample(
         source_col="cluster", text_col=text_col, key=id_col, seed=seed,
     )
     return mixed
+
+
+def md5_unit_hash(key: str, seed: int) -> Column:
+    """Engine-shared unit hash (the spandom/d_simhash oracle pattern):
+    first 8 hex chars of ``md5(key ':' seed)`` → int in [0, BUCKETS).
+    DuckDB restates it bit-identically as
+    ``('0x' || substr(md5(key::VARCHAR || ':seed'), 1, 8))::BIGINT %
+    BUCKETS``. Production code keeps the cheaper ``_unit_hash``
+    (xxhash64); the machinery is hash-agnostic."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(key).cast("string"), F.lit(str(seed)))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def upsample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key: str = "doc_id",
+    seed: int = 3,
+    epoch_col: str = "epoch",
+    unit_hash=None,
+) -> DataFrame:
+    """Deterministic per-source repetition weighting — the complement of
+    :func:`mixture_sample` (which only downsamples): source ``s`` is
+    repeated ``weights[s]`` times in EXPECTATION — every doc gets
+    ``floor(w)`` whole copies, and the deterministic ``frac(w)`` hash
+    fraction of docs gets one extra — the standard "repeat high-quality
+    sources for multiple epochs" recipe (Muennighoff et al. 2023 data-
+    constrained scaling / FineWeb-Edu-style quality reweighting).
+    Fractional weights < 1 degenerate to downsampling, so one op covers
+    both directions of a mixture spec. Sources absent from ``weights``
+    keep weight 1.0 (exactly one copy).
+
+    Output gains ``epoch_col`` (0-based copy index) so downstream packing
+    or shuffling can interleave epochs instead of emitting consecutive
+    duplicates. Determinism: a doc's copy count depends only on
+    (key, seed, weights) — growing the corpus never changes it (the
+    hash_split property).
+
+    Scale shape: one ``when``-chain map stage + an ``explode(sequence)``
+    whose fan-out is the weight itself — no shuffle, no rand(), no
+    driver-side state. ``unit_hash`` is the oracle-parity seam
+    (:func:`md5_unit_hash`); default is the production xxhash64 map.
+    """
+    uh = (unit_hash or _unit_hash)(key, seed)
+    import math
+
+    floor_col, bound_col = None, None
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight {w!r} for source {s!r}")
+        fl = int(math.floor(w))
+        fb = int(round((w - fl) * BUCKETS))
+        cond = F.col(source_col) == s
+        floor_col = (F.when(cond, fl) if floor_col is None
+                     else floor_col.when(cond, fl))
+        bound_col = (F.when(cond, fb) if bound_col is None
+                     else bound_col.when(cond, fb))
+    floor_col = F.lit(1) if floor_col is None else floor_col.otherwise(F.lit(1))
+    bound_col = F.lit(0) if bound_col is None else bound_col.otherwise(F.lit(0))
+    copies = (floor_col + (uh < bound_col).cast("int")).alias("_copies")
+    return (
+        docs.withColumn("_copies", copies)
+        .where(F.col("_copies") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .drop("_copies")
+    )
