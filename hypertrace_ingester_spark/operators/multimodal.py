@@ -214,6 +214,149 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 16) 
     return media.filter(F.col("kind") == "video").mapInPandas(sampler, schema=FRAME_SCHEMA)
 
 
+def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (floor-index law: src = floor(dst*in/out)).
+
+    Pure integer index-grid — deterministic across platforms, no float
+    rounding ambiguity, and the same law tests can restate in closed form."""
+    h_in, w_in = img.shape[0], img.shape[1]
+    ys = (np.arange(height) * h_in) // height
+    xs = (np.arange(width) * w_in) // width
+    return img[ys][:, xs]
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  batch_rows: int = 64) -> DataFrame:
+    """Resize image rows to ``width``×``height`` (nearest-neighbor), re-encode
+    as real PNG; audio/video rows pass through byte-identical.
+
+    Driver-mandate op (decode / feature-extract / **resize** / frame-sample).
+    Scale shape: one ``mapInPandas`` pass over the payload column, no
+    shuffle — the resize is embarrassingly parallel and the output schema is
+    the input schema, so it composes ahead of any feature/hash stage (and
+    SHRINKS the payload bytes that later stages carry). Compressed codecs
+    hit the same ``_decode_bytes`` seam documented on the module."""
+
+    def resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, kind, meta in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                data = bytes(payload)
+                if kind == "image" and codecs.is_png(data):
+                    img = _nn_resize(codecs.decode_png(data), width, height)
+                    data = codecs.encode_png(img)
+                    meta = dict(meta)
+                    meta["width"], meta["height"] = width, height
+                payloads.append(data)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(resizer, schema=MEDIA_SCHEMA)
+
+
+def image_ahash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash over image rows → (media_id, ahash bigint).
+
+    aHash recipe (the classic pHash-family baseline): decode, collapse to
+    luma (channel mean), nearest-neighbor downsample to
+    ``hash_size``×``hash_size``, one bit per cell = cell > mean, packed
+    row-major MSB-first into a signed 64-bit long. Near-identical images
+    (re-encodes, small crops/noise) land within a few bits; unrelated
+    images differ in ~32. Payload is dropped before return, so everything
+    downstream shuffles 2 narrow columns."""
+    if hash_size * hash_size != 64:
+        raise ValueError("ahash packs exactly 64 bits (hash_size must be 8)")
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+        for pdf in batches:
+            ids, hashes = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not codecs.is_png(data):
+                    continue
+                img = codecs.decode_png(data).astype(np.float64)
+                luma = img.mean(axis=2) if img.ndim == 3 else img
+                cells = _nn_resize(luma, hash_size, hash_size)
+                bits = (cells > cells.mean()).ravel().astype(np.uint64)
+                hashes.append(np.int64((bits * weights).sum(dtype=np.uint64)))
+                ids.append(media_id)
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(hasher, schema="media_id string, ahash bigint")
+    )
+
+
+def image_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup pairs: Hamming distance ≤ ``max_hamming`` on the
+    64-bit perceptual hash, found WITHOUT an all-pairs join.
+
+    Pigeonhole banding (exact, not probabilistic): split the 64-bit hash
+    into ``max_hamming + 1`` contiguous bit bands — any pair within the
+    distance budget has at least one band with ZERO differing bits, so an
+    exact-match self-join on (band_idx, band_value) has recall 1.0 by
+    construction. Candidates are then verified JVM-side with
+    ``bit_count(a ^ b)``. Scale shape: the banded frame is 3 longs per
+    row, the join is a bucketed equi-join on the band key (never
+    all-pairs), and the verify runs inside codegen. Output (doc_a, doc_b)
+    composes with ``dedup.duplicate_clusters`` / ``keep_canonical``."""
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    starts = [sum(widths[:i]) for i in range(n_bands)]
+
+    banded = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("ahash"), starts[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "ahash", "band.band_idx", "band.band_val")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 AUDIO_RATE = 4000
 VIDEO_FPS = 2
 

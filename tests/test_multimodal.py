@@ -122,3 +122,111 @@ def test_strict_mode_raises_for_unknown_container(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_resize_images_nn_law(spark, media):
+    """Resize: image rows re-encode at target dims obeying the closed-form
+    nearest-neighbor floor-index law; audio/video pass through bytes."""
+    resized = {r["media_id"]: r for r in mm.resize_images(media, 20, 12).collect()}
+    for o in media.collect():
+        r = resized[o["media_id"]]
+        if o["kind"] == "image":
+            out = codecs.decode_png(bytes(r["payload"]))
+            assert out.shape[:2] == (12, 20)
+            assert r["meta"]["width"] == 20 and r["meta"]["height"] == 12
+            src = codecs.decode_png(bytes(o["payload"]))
+            ys = (np.arange(12) * src.shape[0]) // 12
+            xs = (np.arange(20) * src.shape[1]) // 20
+            assert (out == src[ys][:, xs]).all()
+        else:
+            assert bytes(r["payload"]) == bytes(o["payload"])
+            assert r["meta"] == o["meta"]
+
+
+def _media_from_images(spark, imgs):
+    rows = [
+        (
+            f"img-{k:03d}",
+            "image",
+            codecs.encode_png(img),
+            {"width": img.shape[1], "height": img.shape[0],
+             "duration_ms": None, "codec": "png"},
+        )
+        for k, img in enumerate(imgs)
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def _brute_pairs(hashes, max_hamming):
+    import itertools
+
+    hv = {r["media_id"]: int(r["ahash"]) & 0xFFFFFFFFFFFFFFFF for r in hashes}
+    out = set()
+    for a, b in itertools.combinations(sorted(hv), 2):
+        d = bin(hv[a] ^ hv[b]).count("1")
+        if d <= max_hamming:
+            out.add((a, b, d))
+    return out
+
+
+def test_image_ahash_semantics(spark):
+    """aHash: noisy re-render lands within a few bits; inverse image is
+    ~all bits away; identical pixels hash identically."""
+    yy, xx = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    base = ((xx * 4).astype(np.uint8))[..., None]          # smooth ramp
+    noisy = base.copy()
+    noisy[::7, ::11] = np.minimum(noisy[::7, ::11] + 5, 255)  # sparse +5 noise
+    inverse = (255 - base).astype(np.uint8)
+    df = _media_from_images(spark, [base, noisy, inverse, base.copy()])
+    h = {r["media_id"]: int(r["ahash"]) & 0xFFFFFFFFFFFFFFFF
+         for r in mm.image_ahash(df).collect()}
+    assert h["img-000"] == h["img-003"]                     # bit-identical
+    assert bin(h["img-000"] ^ h["img-001"]).count("1") <= 3  # near-dup
+    assert bin(h["img-000"] ^ h["img-002"]).count("1") >= 56  # inverse flips
+
+
+def test_image_near_dups_exact_recall_vs_bruteforce(spark, media):
+    """Pigeonhole banding is EXACT: the banded join + bit_count verify must
+    equal the all-pairs popcount set — on a corpus with planted near-dups
+    (noisy copies) AND the varied generator images."""
+    planted = []
+    for i in (0, 3, 12):
+        img = mm.media_image(i)
+        planted.append(img)
+        noisy = img.copy()
+        noisy[0, 0, 0] = (int(noisy[0, 0, 0]) + 1) % 256   # 1-pixel wiggle
+        planted.append(noisy)
+    corpus = _media_from_images(spark, planted).union(
+        media.filter(F.col("kind") == "image")
+    )
+    hashes = mm.image_ahash(corpus)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.image_near_dups(hashes, max_hamming=6).collect()
+    }
+    expected = _brute_pairs(hashes.collect(), 6)
+    assert got == expected
+    # the 1-pixel wiggles must be caught (cell means barely move)
+    assert any(a == "img-000" and b == "img-001" for a, b, _ in got)
+
+
+def test_image_near_dups_compose_with_clusters(spark):
+    """(doc_a, doc_b) pairs feed the shared CC endgame: noisy triplet
+    collapses to one canonical survivor."""
+    from hypertrace_ingester_spark.operators import dedup
+
+    img = mm.media_image(4)
+    variants = [img]
+    for bump in (1, 2):
+        v = img.copy()
+        v[0, 0, 0] = (int(v[0, 0, 0]) + bump) % 256
+        variants.append(v)
+    other = (255 - mm.media_image(7)).astype(np.uint8)
+    df = _media_from_images(spark, variants + [other])
+    hashes = mm.image_ahash(df)
+    pairs = mm.image_near_dups(hashes, max_hamming=6)
+    clusters = dedup.duplicate_clusters(pairs)
+    kept = dedup.keep_canonical(hashes.withColumnRenamed("media_id", "doc_id"),
+                                clusters)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == ["img-000", "img-003"]
