@@ -299,9 +299,60 @@ def image_ahash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     )
 
 
-def image_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Image near-dup pairs: Hamming distance ≤ ``max_hamming`` on the
-    64-bit perceptual hash, found WITHOUT an all-pairs join.
+def audio_ahash(media: DataFrame, n_frames: int = 9, n_bands: int = 9) -> DataFrame:
+    """Perceptual audio fingerprint → (media_id, ahash bigint).
+
+    Simplified Haitsma–Kalker (2002) recipe: decode WAV, split samples into
+    ``n_frames`` equal frames (floor-index law), per frame compute rFFT
+    band energies over ``n_bands`` equal spectral bands, then one bit per
+    (frame-delta, band-pair): sign of the time-delta of the band-energy
+    difference. (9 frames, 9 bands) → 8×8 = 64 bits, packed MSB-first into
+    the same signed-long shape ``image_ahash`` emits, so both modalities
+    share ``hamming_near_dups``. Gain-invariant by construction (a volume
+    change scales every energy by the same factor, preserving every sign);
+    robust to low-level noise on modulated signals; flat-energy clips
+    (constant-amplitude tones) have borderline bits — a documented
+    aHash-family property, not a defect."""
+    n_bits = (n_frames - 1) * (n_bands - 1)
+    if n_bits != 64:
+        raise ValueError("fingerprint packs exactly 64 bits "
+                         "((n_frames-1)*(n_bands-1) must be 64)")
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+        for pdf in batches:
+            ids, hashes_out = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not codecs.is_wav(data):
+                    continue
+                s = codecs.decode_wav(data)["samples"]
+                fb = (np.arange(n_frames + 1) * len(s)) // n_frames
+                energies = np.zeros((n_frames, n_bands))
+                for n in range(n_frames):
+                    frame = s[fb[n]:fb[n + 1]]
+                    spec = np.abs(np.fft.rfft(frame)) ** 2
+                    bb = (np.arange(n_bands + 1) * len(spec)) // n_bands
+                    energies[n] = [spec[bb[m]:bb[m + 1]].sum() for m in range(n_bands)]
+                band_diff = energies[:, :-1] - energies[:, 1:]
+                bits = (band_diff[1:] - band_diff[:-1] > 0).ravel().astype(np.uint64)
+                hashes_out.append(np.int64((bits * weights).sum(dtype=np.uint64)))
+                ids.append(media_id)
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": pd.Series(hashes_out, dtype="int64")}
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(hasher, schema="media_id string, ahash bigint")
+    )
+
+
+def hamming_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ ``max_hamming`` on a 64-bit
+    perceptual hash (image aHash, audio fingerprint, …), found WITHOUT an
+    all-pairs join.
 
     Pigeonhole banding (exact, not probabilistic): split the 64-bit hash
     into ``max_hamming + 1`` contiguous bit bands — any pair within the
@@ -355,6 +406,10 @@ def image_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# modality-named face kept for discoverability; one shared banded-join engine
+image_near_dups = hamming_near_dups
 
 
 AUDIO_RATE = 4000

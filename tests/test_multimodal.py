@@ -230,3 +230,82 @@ def test_image_near_dups_compose_with_clusters(spark):
                                 clusters)
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == ["img-000", "img-003"]
+
+
+def _wav_media(spark, clips, rate=4000):
+    rows = [
+        (
+            f"aud-{k:03d}",
+            "audio",
+            codecs.encode_wav(s, rate),
+            {"width": None, "height": None,
+             "duration_ms": int(len(s) * 1000 / rate), "codec": "pcm_s16le"},
+        )
+        for k, s in enumerate(clips)
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def _hk_clip(seed, rate=4000, dur=2.0, n_frames=9, n_bands=9):
+    """Deterministic broadband clip: per (frame, band) amplitude pattern
+    ((n*3 + m*5 + seed) % 7) keeps every band-energy comparison decisive
+    (no two adjacent-band energies tie — margins >= 4 amp^2 units)."""
+    n = int(rate * dur)
+    t = np.arange(n) / rate
+    fb = (np.arange(n_frames + 1) * n) // n_frames
+    s = np.zeros(n)
+    for m in range(n_bands):
+        f_m = (m + 0.5) * (rate / 2) / n_bands
+        carrier = np.sin(2 * np.pi * f_m * t)
+        amp = np.zeros(n)
+        for fr in range(n_frames):
+            amp[fb[fr]:fb[fr + 1]] = 0.01 * (1 + ((fr * 3 + m * 5 + seed) % 7))
+        s += amp * carrier
+    return s
+
+
+def test_audio_fingerprint_semantics(spark):
+    """Gain change → identical bits; low-level noise → a few bits;
+    different content → far."""
+    a = _hk_clip(0)
+    t = np.arange(len(a)) / 4000
+    noisy = a + 0.002 * np.sin(2 * np.pi * 997 * t) \
+              + 0.002 * np.sin(2 * np.pi * 1501 * t + 1.0)
+    half = 0.5 * a
+    other = _hk_clip(3)
+    df = _wav_media(spark, [a, noisy, half, other])
+    h = {r["media_id"]: int(r["ahash"]) & 0xFFFFFFFFFFFFFFFF
+         for r in mm.audio_ahash(df).collect()}
+    assert len(h) == 4
+
+    def ham(x, y):
+        return bin(h[x] ^ h[y]).count("1")
+
+    assert ham("aud-000", "aud-002") <= 1   # gain-invariant (quantization only)
+    assert ham("aud-000", "aud-001") <= 4   # noise below every bit margin
+    assert ham("aud-000", "aud-003") >= 16  # different content
+
+
+def test_audio_near_dups_bruteforce_and_clusters(spark):
+    """hamming_near_dups is modality-agnostic: exact set equality vs
+    all-pairs popcount on audio fingerprints, and the a/noisy/half triplet
+    collapses through the CC endgame."""
+    from hypertrace_ingester_spark.operators import dedup
+
+    a = _hk_clip(0)
+    t = np.arange(len(a)) / 4000
+    clips = [a, a + 0.002 * np.sin(2 * np.pi * 997 * t), 0.5 * a,
+             _hk_clip(1), _hk_clip(2), _hk_clip(5)]
+    hashes = mm.audio_ahash(_wav_media(spark, clips))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.hamming_near_dups(hashes, max_hamming=6).collect()
+    }
+    assert got == _brute_pairs(hashes.collect(), 6)
+    assert {(a_, b_) for a_, b_, _ in got} >= {
+        ("aud-000", "aud-001"), ("aud-000", "aud-002"), ("aud-001", "aud-002")
+    }
+    clusters = dedup.duplicate_clusters(mm.hamming_near_dups(hashes, 6))
+    kept = dedup.keep_canonical(
+        hashes.withColumnRenamed("media_id", "doc_id"), clusters)
+    assert kept.count() == 4  # canonical of the triplet + 3 distinct clips
