@@ -143,6 +143,52 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def c4_line_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning heuristics (Raffel et al. 2020 §2.2, public):
+    a line survives only if it ends in terminal punctuation, has at least
+    ``min_line_words`` words, and does not mention "javascript"; the page
+    is kept (``c4_keep``) only if it never says "lorem ipsum", contains no
+    curly brace (code marker), and the cleaned text still has at least
+    ``min_sentences`` sentences. Emits the cleaned ``text_c4`` plus audit
+    columns. Pure column expressions over one split — a map-only stage that
+    runs BEFORE any dedup shuffle (C4 applies it pre-dedup), and every
+    predicate is restatable by the DuckDB oracle verbatim."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_keep(ln):
+        words = F.filter(F.split(ln, " "), lambda x: x != "")
+        return (
+            ln.rlike('[.!?"]$')
+            & (F.size(words) >= min_line_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_keep)
+    text_c4 = F.array_join(kept, "\n")
+    return (
+        docs.withColumn("n_lines", F.size(lines).cast("int"))
+        .withColumn("n_kept_lines", F.size(kept).cast("int"))
+        .withColumn("text_c4", text_c4)
+        .withColumn(
+            "n_sentences",
+            F.regexp_count(F.col("text_c4"), F.lit(r"[.!?]")).cast("int"),
+        )
+        .withColumn("has_lorem_ipsum", F.lower(F.col(text_col)).contains("lorem ipsum"))
+        .withColumn("has_brace", F.col(text_col).contains("{"))
+        .withColumn(
+            "c4_keep",
+            ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+            & (F.col("n_sentences") >= min_sentences),
+        )
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """C4/RefinedWeb-style PII scrub: per-doc match counts for each
     ``PII_PATTERNS`` class (on the ORIGINAL text — an address like
