@@ -2,7 +2,8 @@
 into the standard web-scale assembly pipeline (the documents-table
 counterpart of plans/pipeline.py's span topology):
 
-    profile (ONE fused text scan) → quality + Gopher filter → PII redaction
+    [opt-in C4 line cleaning (line keep + page keep, text replaced)]
+    → profile (ONE fused text scan) → quality + Gopher filter → PII redaction
     → exact dedup → MinHash near-dup clustering → canonical keep
     → [opt-in exact-substring dedup at word-token grain]
     → benchmark decontamination → mixture sampling → train/val/test split
@@ -37,6 +38,13 @@ from ..operators import text as tx
 
 @dataclass
 class CurationConfig:
+    # opt-in C4 line-level cleaning (Raffel et al. 2020): runs FIRST — C4
+    # applies its line filters before every other stage — replacing text
+    # with the cleaned text_c4 and dropping pages that fail c4_keep. Off by
+    # default: it requires line-structured text (the synthetic documents
+    # table is single-line word soup with no sentence punctuation, which
+    # c4_keep would drop wholesale).
+    c4_clean: bool = False
     gopher_filter: bool = True
     quality_filter: bool = True
     redact_pii: bool = True
@@ -90,6 +98,15 @@ def run_curation(
 
     base_cols = [c for c in ("doc_id", "source", "lang") if c in docs.columns]
     record("input", _tokens(docs))
+
+    # 0) opt-in C4 line cleaning — another map-only stage ahead of the
+    # profile scan, so every later stage sees the cleaned, smaller text
+    if cfg.c4_clean:
+        sig = tx.c4_line_signals(docs)
+        docs = sig.where(F.col("c4_keep")).select(
+            *base_cols, F.col("text_c4").alias("text")
+        )
+        record("c4_cleaned", _tokens(docs))
 
     # 1) fused profile scan + map-side filters
     prof = tx.text_profile(docs)

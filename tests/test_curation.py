@@ -116,3 +116,31 @@ def test_exact_substr_stage(spark):
     # the planted boilerplate run (11 words >= L=8) survives exactly once
     survivors = out.where(F.col("text").contains(boiler)).count()
     assert survivors == 1
+
+
+def test_c4_clean_stage(spark):
+    from tests.test_c4_signals import _c4_fixture
+    import pathlib, tempfile
+
+    path = _c4_fixture(pathlib.Path(tempfile.mkdtemp()))
+    docs = spark.read.parquet(path).withColumn("source", F.lit("web"))
+    out, manifest = run_curation(
+        spark,
+        docs,
+        config=CurationConfig(
+            c4_clean=True, quality_filter=False, gopher_filter=False,
+            redact_pii=False, near_dup=False,
+        ),
+    )
+    s = manifest["stages"]
+    assert "c4_cleaned" in s
+    assert s["c4_cleaned"]["rows"] < s["input"]["rows"]     # pages dropped
+    assert s["c4_cleaned"]["tokens"] < s["input"]["tokens"]  # lines dropped
+    # lorem-ipsum and brace pages never survive, and the surviving text is
+    # the CLEANED text (every line terminal-punctuated)
+    assert out.where(F.lower("text").contains("lorem ipsum")).count() == 0
+    assert out.where(F.col("text").contains("{")).count() == 0
+    bad_lines = out.select(
+        F.explode(F.split("text", "\n")).alias("ln")
+    ).where(~F.col("ln").rlike('[.!?"]$')).count()
+    assert bad_lines == 0
