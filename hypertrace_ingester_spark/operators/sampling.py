@@ -204,6 +204,52 @@ def pack_blocks(
     ).withColumn("n_toks", (F.col("tok_end") - F.col("tok_start")).cast("long"))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    max_len: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding context windows over a token-array column: chunk ``i``
+    covers tokens ``[i*stride, i*stride + max_len)``; the chunk count is
+    ``1 + ceil((n - max_len)/stride)`` for docs longer than ``max_len``
+    (so the final window always reaches the end of the doc — a short tail
+    chunk, never an empty one) and exactly 1 otherwise. ``stride``
+    defaults to ``max_len`` (disjoint windows, token-conserving);
+    ``stride < max_len`` gives the overlapping windows an embedding /
+    long-doc-SFT corpus uses (``stride > max_len`` is rejected — gaps
+    contradict the final-window law). Empty docs vanish.
+
+    The fixed-window alternative to :func:`pack_offsets`' concat-and-chunk:
+    per-doc windows never cross doc boundaries. Map-side
+    ``explode(sequence)`` + ``slice`` — no shuffle; with overlap the
+    payload fan-out is ×(max_len/stride), which is the point, not a bug."""
+    hop = int(stride) if stride else int(max_len)
+    if hop <= 0 or max_len <= 0:
+        raise ValueError("max_len and stride must be positive")
+    if hop > max_len:
+        raise ValueError(
+            "stride > max_len leaves unsampled gaps AND breaks the "
+            "final-window-reaches-the-end law; use stride <= max_len"
+        )
+    n = F.size(F.col(tokens_col))
+    n_chunks = (
+        F.when(n <= max_len, F.lit(1))
+        .otherwise(F.lit(1) + F.ceil((n - max_len) / F.lit(hop)))
+        .cast("int")
+    )
+    start = F.col("chunk_idx") * hop
+    return (
+        docs.where(n > 0)
+        .withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .withColumn("chunk", F.slice(F.col(tokens_col), start + 1, max_len))
+        .withColumn("n_chunk_tokens", F.size("chunk").cast("int"))
+        .drop(tokens_col)
+    )
+
+
 def _gram_stream(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, gram) rows: unigrams + space-joined bigrams, built map-side
     from the words array (the DSIR feature set, Xie et al. 2023 §3)."""
