@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import bpe as bp
 from ..operators import dedup as dd
 from ..operators import sampling as sp
 from ..operators import text as tx
@@ -58,6 +59,11 @@ class CurationConfig:
     # corpus; docs cut to zero tokens vanish.
     exact_substr_length: int | None = None
     decontaminate_k: int = 13
+    # opt-in real BPE tokenization before packing: the tokenizer trains on
+    # the TRAIN split only (no val/test leakage into the vocabulary), the
+    # train docs gain bpe_tokens, and packing runs on real subword counts
+    # instead of whitespace word counts.
+    bpe_merges: int | None = None
     mixture: dict[str, float] | None = None
     split_weights: dict[str, float] | None = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -174,8 +180,14 @@ def run_curation(
     # 6) deterministic split
     split = sp.hash_split(mixed, cfg.split_weights, seed=cfg.seed)
 
-    # 7) pack the train split
+    # 7) pack the train split — on real BPE subword counts when opted in
     train = split.where(F.col("split") == "train")
+    if cfg.bpe_merges:
+        merges = bp.train_bpe(train, n_merges=cfg.bpe_merges)
+        train = bp.bpe_tokenize(train, merges).withColumn(
+            "n_tokens", F.col("n_bpe_tokens").cast("long")
+        ).drop("n_bpe_tokens")
+        manifest["bpe"] = {"n_merges": len(merges)}
     packed = sp.pack_offsets(train, block_tokens=cfg.block_tokens)
     rest = split.where(F.col("split") != "train")
     curated = packed.unionByName(rest, allowMissingColumns=True)

@@ -144,3 +144,28 @@ def test_c4_clean_stage(spark):
         F.explode(F.split("text", "\n")).alias("ln")
     ).where(~F.col("ln").rlike('[.!?"]$')).count()
     assert bad_lines == 0
+
+
+def test_bpe_pack_stage(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out, manifest = run_curation(
+        spark,
+        docs,
+        config=CurationConfig(
+            quality_filter=False, gopher_filter=False, redact_pii=False,
+            near_dup=False, bpe_merges=30,
+        ),
+    )
+    assert manifest["bpe"] == {"n_merges": 30}
+    train = out.where(F.col("split") == "train")
+    # train docs carry the actual subword stream and pack by ITS counts
+    row = train.first()
+    assert row["n_tokens"] == len(row["bpe_tokens"])
+    packed_tokens = manifest["stages"]["train_packed"]["tokens"]
+    assert packed_tokens == train.agg(F.sum("n_tokens")).first()[0]
+    # subword count exceeds word count (30 merges can't fully re-fuse words)
+    words = train.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert packed_tokens > words
+    # val/test rows are untouched (no bpe_tokens)
+    rest = out.where(F.col("split") != "split").where(F.col("split") != "train")
+    assert rest.where(F.col("bpe_tokens").isNotNull()).count() == 0
