@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators import bpe as bp
 from ..operators import dedup as dd
+from ..operators import quality_model as qm
 from ..operators import sampling as sp
 from ..operators import text as tx
 
@@ -51,6 +52,14 @@ class CurationConfig:
     redact_pii: bool = True
     near_dup: bool = True
     jaccard_threshold: float = 0.5
+    # opt-in learned quality classifier (GPT-3 Appendix A / LLaMA §2.1):
+    # trains the tokenize->HashingTF->logistic-regression pipeline on the
+    # PRE-filter profile's weak labels (pass-both-heuristics = positive),
+    # scores the heuristic survivors, and keeps via GPT-3's Pareto rule
+    # with this alpha (their value: 9.0). None = off. Runs before any
+    # dedup shuffle so the expensive stages see the thinned corpus.
+    quality_model_alpha: float | None = None
+    quality_model_features: int = 1 << 18
     # opt-in ExactSubstr stage (Lee et al. 2021) at word-token grain: every
     # non-first occurrence of a duplicated run of >= this many tokens is cut
     # (dedup.substring_dedup is element-type agnostic — the same gram-hash /
@@ -126,6 +135,24 @@ def run_curation(
         prof.where(keep).select(*base_cols, text_out.alias("text"))
     ).localCheckpoint(eager=False)
     record("filtered", filtered)
+
+    # 1b) opt-in learned quality classifier + Pareto retention
+    if cfg.quality_model_alpha is not None:
+        labeled = qm.weak_labels(prof)
+        if labeled.select("label").distinct().count() >= 2:
+            model = qm.train_quality_model(
+                labeled, n_features=cfg.quality_model_features
+            )
+            scored = qm.score_quality(filtered, model)
+            filtered = (
+                qm.pareto_keep(scored, alpha=cfg.quality_model_alpha,
+                               seed=cfg.seed + 11)
+                .where(F.col("pareto_keep"))
+                .drop("pareto_keep")
+            ).localCheckpoint(eager=False)
+            record("quality_model", filtered)
+        else:
+            manifest["quality_model"] = {"skipped": "single-class weak labels"}
 
     # 2) exact dedup: keep the minimum doc id per content hash
     keep_ids = dd.exact_dedup(filtered).select(

@@ -169,3 +169,24 @@ def test_bpe_pack_stage(spark):
     # val/test rows are untouched (no bpe_tokens)
     rest = out.where(F.col("split") != "split").where(F.col("split") != "train")
     assert rest.where(F.col("bpe_tokens").isNotNull()).count() == 0
+
+
+def test_quality_model_stage(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    cfg = CurationConfig(near_dup=False, quality_model_alpha=9.0,
+                         quality_model_features=1 << 14)
+    out, manifest = run_curation(spark, docs, config=cfg)
+    s = manifest["stages"]
+    assert "quality_model" in s, manifest.get("quality_model")
+    # the Pareto rule only ever removes docs, and the survivors carry the
+    # learned score
+    assert 0 < s["quality_model"]["rows"] <= s["filtered"]["rows"]
+    assert "quality_prob" in out.columns
+    probs = out.select(F.min("quality_prob"), F.max("quality_prob")).first()
+    assert 0.0 <= probs[0] <= probs[1] <= 1.0
+    # deterministic: same config, same kept set
+    out2, m2 = run_curation(spark, docs, config=cfg)
+    assert m2["stages"]["quality_model"] == s["quality_model"]
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert a == b
