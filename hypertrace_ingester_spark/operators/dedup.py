@@ -105,6 +105,29 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     )
 
 
+def band_hash_array(
+    bands: int = LSH_BANDS,
+    num_perm: int = MINHASH_PERMS,
+    minhash_col: str = "minhash",
+) -> Column:
+    """``bands`` LSH band hashes from a MinHash signature column. Each band
+    hash is salted with its band index (the ``F.lit(b)`` argument), so the
+    hash alone identifies (band, rows) — a single-column join key that a
+    band-bucketed index layout can satisfy without a corpus-side shuffle
+    (operators/incremental.py)."""
+    rows_per_band = num_perm // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at(F.col(minhash_col), b * rows_per_band + r + 1)
+                  for r in range(rows_per_band)],
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str = "doc_id",
@@ -124,17 +147,7 @@ def lsh_candidate_pairs(
     reference's per-tenant cap, RawSpansProcessor.java:347-388)."""
     from pyspark.sql import Window
 
-    rows_per_band = num_perm // bands
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                *[F.element_at(F.col("minhash"), b * rows_per_band + r + 1)
-                  for r in range(rows_per_band)],
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_arr = band_hash_array(bands=bands, num_perm=num_perm)
     banded = (
         signed.select(id_col, band_arr.alias("bands"))
         .select(id_col, F.posexplode("bands").alias("band_idx", "band_hash"))

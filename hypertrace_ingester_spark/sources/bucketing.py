@@ -49,9 +49,10 @@ def write_bucketed(
         .sortBy(*(sort_cols or bucket_cols))
     )
     if path is not None:
-        # a stale catalog entry from an earlier overwrite may pin a
-        # different location/schema; drop before re-creating external
-        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+        if mode == "overwrite":
+            # a stale catalog entry from an earlier overwrite may pin a
+            # different location/schema; drop before re-creating external
+            df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
         writer = writer.option("path", path)
     writer.saveAsTable(table)
 
