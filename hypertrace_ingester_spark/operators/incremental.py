@@ -52,14 +52,19 @@ def doc_index(
     """(doc_id, text_hash, minhash) — the narrow per-doc index rows.
 
     ``minhash`` is NULL for docs too short to shingle (they can never be a
-    near-dup candidate; exact dedup still covers them)."""
+    near-dup candidate; exact dedup still covers them). ``doc_id`` is cast
+    to string so the persisted index schema matches ``load_index``'s
+    declared DDL whatever the caller's id type — the corpus-side id is
+    only ever joined against itself (bands → sigs), never back against
+    delta ids."""
     base = docs.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).cast("string").alias("doc_id"),
         F.md5(F.col(text_col)).alias("text_hash"),
     )
     sigs = dd.minhash_signature(docs, text_col, num_perm=num_perm, id_col=id_col)
     return base.join(
-        sigs.select(F.col(id_col).alias("doc_id"), "minhash"), "doc_id", "left"
+        sigs.select(F.col(id_col).cast("string").alias("doc_id"), "minhash"),
+        "doc_id", "left",
     )
 
 
