@@ -25,6 +25,8 @@ recompute the profile scan.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -79,6 +81,14 @@ class CurationConfig:
     )
     block_tokens: int = 2048
     seed: int = 0
+    # stage-boundary checkpoint for restart (a 100 TB curation run WILL be
+    # preempted mid-way): the post-dedup corpus — the output of the entire
+    # expensive shuffle prefix (profile scan, filters, exact dedup, near-dup
+    # clustering, substring dedup) — is written here once, and
+    # ``run_curation(..., resume=True)`` re-reads it instead of recomputing,
+    # re-running only the cheap tail (decontaminate → mix → split → pack).
+    # Same contract as PipelineConfig.checkpoint_parse.
+    checkpoint_dir: str | None = None
 
 
 def _tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -87,17 +97,26 @@ def _tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ckpt_state_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "_curation_manifest.json")
+
+
 def run_curation(
     spark: SparkSession,
     docs: DataFrame,
     eval_docs: DataFrame | None = None,
     config: CurationConfig | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the curation pipeline; returns ``(curated, manifest)`` where
     ``curated`` carries ``doc_id, source, text, n_tokens, split`` plus
     packing columns on the train split, and ``manifest`` records per-stage
     row and token counts (the audit trail a 100 TB curation run ships with
-    its output)."""
+    its output).
+
+    With ``cfg.checkpoint_dir`` set, the post-dedup corpus is checkpointed
+    to parquet; ``resume=True`` then skips every stage up to and including
+    dedup and re-reads the checkpoint (restart-safe, like run_pipeline)."""
     cfg = config or CurationConfig()
     t0 = time.time()
     manifest: dict = {"stages": {}}
@@ -110,6 +129,23 @@ def run_curation(
             "rows": agg["rows"],
             "tokens": int(agg["tokens"] or 0),
         }
+
+    dedup_ckpt = (
+        os.path.join(cfg.checkpoint_dir, "deduped") if cfg.checkpoint_dir
+        else None
+    )
+    if resume and cfg.checkpoint_dir and os.path.exists(
+        _ckpt_state_path(cfg.checkpoint_dir)
+    ):
+        with open(_ckpt_state_path(cfg.checkpoint_dir)) as fh:
+            state = json.load(fh)
+        if state.get("deduped_complete"):
+            deduped = spark.read.parquet(dedup_ckpt)
+            manifest["stages"].update(state["stages"])
+            manifest["resumed_from"] = dedup_ckpt
+            return _curation_tail(
+                spark, deduped, eval_docs, cfg, manifest, record, t0
+            )
 
     base_cols = [c for c in ("doc_id", "source", "lang") if c in docs.columns]
     record("input", _tokens(docs))
@@ -185,6 +221,34 @@ def run_curation(
         )
         record("substring_dedup", deduped)
 
+    if dedup_ckpt is not None:
+        # the expensive prefix ends here: persist, mark complete, and read
+        # the checkpoint back so the tail's lineage starts at the files
+        # (a resumed run and a straight-through run share the same plan)
+        deduped.write.mode("overwrite").parquet(dedup_ckpt)
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        with open(_ckpt_state_path(cfg.checkpoint_dir), "w") as fh:
+            json.dump(
+                {"deduped_complete": True, "stages": manifest["stages"]}, fh
+            )
+        deduped = spark.read.parquet(dedup_ckpt)
+        manifest["checkpointed_to"] = dedup_ckpt
+
+    return _curation_tail(spark, deduped, eval_docs, cfg, manifest, record, t0)
+
+
+def _curation_tail(
+    spark: SparkSession,
+    deduped: DataFrame,
+    eval_docs: DataFrame | None,
+    cfg: CurationConfig,
+    manifest: dict,
+    record,
+    t0: float,
+) -> tuple[DataFrame, dict]:
+    """Stages after the dedup checkpoint boundary: decontaminate → mixture
+    → split → (BPE) → pack. Cheap relative to the prefix — recomputed on
+    resume rather than checkpointed."""
     # 4) benchmark decontamination
     if eval_docs is not None:
         flagged = dd.decontaminate(deduped, eval_docs, k=cfg.decontaminate_k)

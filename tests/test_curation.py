@@ -190,3 +190,34 @@ def test_quality_model_stage(spark):
     a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
     assert a == b
+
+
+def test_checkpoint_resume_skips_dedup_prefix(spark, tmp_path):
+    """resume=True re-reads the post-dedup checkpoint: the proof is that a
+    resumed run fed COMPLETELY DIFFERENT input docs still produces the
+    first run's output — the prefix (profile/filter/dedup) never ran."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    cfg = CurationConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    out1, man1 = run_curation(spark, docs, config=cfg)
+    assert man1["checkpointed_to"].endswith("deduped")
+
+    decoy = docs.limit(3)  # wrong input: only the checkpoint can be right
+    out2, man2 = run_curation(spark, decoy, config=cfg, resume=True)
+    assert man2["resumed_from"] == man1["checkpointed_to"]
+    # prefix stages restored from the manifest, not recomputed on decoy
+    assert man2["stages"]["input"] == man1["stages"]["input"]
+    assert man2["stages"]["near_dedup"] == man1["stages"]["near_dedup"]
+    # tail reran identically (deterministic split/pack over the checkpoint)
+    assert man2["stages"]["train_packed"] == man1["stages"]["train_packed"]
+    assert man2["split_counts"] == man1["split_counts"]
+    ids1 = sorted(r["doc_id"] for r in out1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) == man1["stages"]["mixed"]["rows"]
+
+
+def test_resume_without_state_runs_full(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    cfg = CurationConfig(checkpoint_dir=str(tmp_path / "fresh"))
+    out, man = run_curation(spark, docs, config=cfg, resume=True)
+    assert "resumed_from" not in man and "checkpointed_to" in man
+    assert man["stages"]["input"]["rows"] > 0
