@@ -38,10 +38,20 @@ from ..operators import dedup as dd
 from ..operators import quality_model as qm
 from ..operators import sampling as sp
 from ..operators import text as tx
+from ..operators import weburl as wu
 
 
 @dataclass
 class CurationConfig:
+    # opt-in URL-grain curation (RefinedWeb §3.1): runs BEFORE anything
+    # reads the text — URL-level exact dedup on the canonical URL (two
+    # crawls of one page collapse), domain blocklist, per-domain cap. All
+    # three need a ``url_col`` column; silently skipped when absent (the
+    # synthetic documents table has none).
+    url_col: str = "url"
+    url_dedup: bool = False
+    url_blocklist: list[str] | None = None
+    domain_cap: int | None = None
     # opt-in C4 line-level cleaning (Raffel et al. 2020): runs FIRST — C4
     # applies its line filters before every other stage — replacing text
     # with the cleaned text_c4 and dropping pages that fail c4_keep. Off by
@@ -149,6 +159,22 @@ def run_curation(
 
     base_cols = [c for c in ("doc_id", "source", "lang") if c in docs.columns]
     record("input", _tokens(docs))
+
+    # 0a) opt-in URL-grain curation — BEFORE anything reads the text
+    if cfg.url_col in docs.columns and (
+        cfg.url_dedup or cfg.url_blocklist or cfg.domain_cap
+    ):
+        if cfg.url_dedup:
+            canon = wu.canonical_url(docs, cfg.url_col)
+            keep_url = canon.groupBy("canonical_url").agg(
+                F.min("doc_id").alias("doc_id"))
+            docs = canon.join(keep_url, ["canonical_url", "doc_id"]).drop(
+                "canonical_url")
+        if cfg.url_blocklist:
+            docs = wu.blocklist_filter(docs, cfg.url_blocklist, cfg.url_col)
+        if cfg.domain_cap:
+            docs = wu.per_domain_cap(docs, cfg.domain_cap, cfg.url_col)
+        record("url_curated", _tokens(docs))
 
     # 0) opt-in C4 line cleaning — another map-only stage ahead of the
     # profile scan, so every later stage sees the cleaned, smaller text

@@ -221,3 +221,39 @@ def test_resume_without_state_runs_full(spark, tmp_path):
     out, man = run_curation(spark, docs, config=cfg, resume=True)
     assert "resumed_from" not in man and "checkpointed_to" in man
     assert man["stages"]["input"]["rows"] > 0
+
+
+def test_url_stage(spark):
+    """URL-grain curation runs before any text stage: canonical-URL dedup
+    collapses tracking-param variants, blocklisted domains vanish, and a
+    domain cap binds — all reflected in the url_curated manifest row."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.com/page/"), (F.col("doc_id") % 50).cast("string"),
+        # 1 in 2 carries a tracking param: canonicalization must collapse
+        # (host, page) twins that differ only by it
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    with_url = docs.withColumn("url", url)
+    n_in = with_url.count()
+    cfg = CurationConfig(
+        url_dedup=True, url_blocklist=["host7.example.com"], domain_cap=30,
+        quality_filter=False, gopher_filter=False, redact_pii=False,
+        near_dup=False,
+    )
+    out, man = run_curation(spark, with_url, config=cfg)
+    s = man["stages"]
+    assert s["url_curated"]["rows"] < s["input"]["rows"] == n_in
+    # (host mod 10, page mod 50) has exactly 50 distinct canonical urls;
+    # host7 is one of the 10 hosts; cap 30 binds per REGISTERED domain
+    # (all hosts share example.com) => <= 30 survivors
+    assert s["url_curated"]["rows"] <= 30
+    assert s["exact_dedup"]["rows"] <= s["url_curated"]["rows"]
+
+
+def test_url_stage_skipped_without_column(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    cfg = CurationConfig(url_dedup=True, near_dup=False)
+    _, man = run_curation(spark, docs, config=cfg)
+    assert "url_curated" not in man["stages"]
