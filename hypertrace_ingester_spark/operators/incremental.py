@@ -34,6 +34,9 @@ survivors append back. Driver-mandate territory (training-data ops).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +44,8 @@ from ..sources import bucketing
 from . import dedup as dd
 
 INDEX_BUCKETS = 32
+
+_META_FILE = "_index_meta.json"
 
 
 def doc_index(
@@ -91,6 +96,21 @@ def build_index(
     join keys. ``mode='append'`` adds a delta's survivors to an existing
     index (Spark appends new per-bucket files; readers union them, the
     declared layout is unchanged)."""
+    meta_path = os.path.join(path, _META_FILE)
+    if mode == "append" and os.path.exists(meta_path):
+        # the hash geometry is a property of the INDEX, not the call: an
+        # append under different parameters would silently mix signature
+        # spaces (wrong Jaccard estimates forever after) — refuse instead
+        with open(meta_path) as fh:
+            prev = json.load(fh)
+        if (prev["num_perm"], prev["bands"], prev["n_buckets"]) != (
+            num_perm, bands, n_buckets
+        ):
+            raise ValueError(
+                f"index at {path} was built with num_perm={prev['num_perm']} "
+                f"bands={prev['bands']} n_buckets={prev['n_buckets']}; "
+                f"append called with ({num_perm}, {bands}, {n_buckets})"
+            )
     idx = doc_index(docs, text_col, id_col, num_perm).localCheckpoint(eager=False)
     t = _tables(prefix)
     bucketing.write_bucketed(
@@ -113,8 +133,13 @@ def build_index(
         t["sigs"], ["doc_id"], n_buckets, mode=mode, path=f"{path}/sigs",
     )
     n = idx.count()
-    return {"docs_indexed": n, "path": path, "prefix": prefix,
+    meta = {"docs_indexed": n, "path": path, "prefix": prefix,
             "num_perm": num_perm, "bands": bands, "n_buckets": n_buckets}
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as fh:
+        json.dump({k: meta[k] for k in
+                   ("num_perm", "bands", "n_buckets", "prefix")}, fh)
+    return meta
 
 
 def load_index(
@@ -126,9 +151,21 @@ def load_index(
     """(Re-)register the three external bucketed tables (a NEW session's
     in-memory catalog has no layout metadata — sources/bucketing.py) and
     return them. The scans report their bucket layout as output
-    partitioning, so delta-vs-index joins shuffle only the delta."""
+    partitioning, so delta-vs-index joins shuffle only the delta.
+
+    The persisted ``_index_meta.json`` (written by ``build_index``)
+    overrides ``n_buckets`` and rides along under ``"_meta"`` so probes
+    (``incremental_dedup``) inherit the geometry the index was BUILT
+    with instead of trusting the caller to repeat it."""
+    meta = None
+    meta_path = os.path.join(path, _META_FILE)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        n_buckets = meta["n_buckets"]
     t = _tables(prefix)
-    return {
+    out = {"_meta": meta} if meta else {}
+    return out | {
         "exact": bucketing.ensure_bucketed_table(
             spark, t["exact"], f"{path}/exact",
             "text_hash string, doc_id string", ["text_hash"], n_buckets),
@@ -158,8 +195,8 @@ def incremental_dedup(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_perm: int = dd.MINHASH_PERMS,
-    bands: int = dd.LSH_BANDS,
+    num_perm: int | None = None,
+    bands: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Dedup ``delta`` against a loaded corpus index. Three stages, each
     shuffling only delta-sized frames:
@@ -178,7 +215,14 @@ def incremental_dedup(
     the delta itself is dirty; this operator owns the delta-vs-corpus
     relation only.
 
+    ``num_perm``/``bands`` default to the geometry the index was built
+    with (its persisted meta, via ``load_index``); pass them only for an
+    index with no meta file.
+
     Returns (kept delta rows — original columns — , manifest counts)."""
+    meta = index.get("_meta") or {}
+    num_perm = num_perm or meta.get("num_perm", dd.MINHASH_PERMS)
+    bands = bands or meta.get("bands", dd.LSH_BANDS)
     n_delta = delta.count()
     hashed = delta.withColumn("_th", F.md5(F.col(text_col)))
 

@@ -165,3 +165,37 @@ def test_append_then_rededup_is_idempotent(spark, setup):
     assert man2["kept"] == 0
     assert man2["exact_dups_vs_corpus"] == (man["exact_dups_vs_corpus"]
                                             + n_kept)
+
+
+def test_index_meta_roundtrip_and_append_guard(spark, tmp_path):
+    """The hash geometry is a property of the INDEX: a non-default build's
+    parameters persist in _index_meta.json, load_index/incremental_dedup
+    inherit them (no caller repetition), and an append under different
+    parameters refuses instead of silently mixing signature spaces."""
+    rows = [(i, " ".join(f"m{i}w{j}" for j in range(40))) for i in range(6)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "meta_idx")
+    meta = inc.build_index(corpus, path, prefix="t_meta",
+                           num_perm=32, bands=8, n_buckets=4)
+    assert (meta["num_perm"], meta["bands"], meta["n_buckets"]) == (32, 8, 4)
+    try:
+        # caller passes NOTHING — geometry comes from the persisted meta
+        # (n_buckets=4 differs from the module default 32: the declared
+        # layout must match the written files or joins would misplan)
+        index = inc.load_index(spark, path, prefix="t_meta")
+        assert index["_meta"]["num_perm"] == 32
+        delta = spark.createDataFrame(
+            [(100, rows[0][1]),                          # exact dup
+             (101, rows[1][1].replace("m1w39", "zz")),   # near dup
+             (102, " ".join(f"q{j}x" for j in range(40)))],  # fresh
+            "doc_id long, text string")
+        kept, man = inc.incremental_dedup(delta, index, threshold=0.5)
+        assert man["exact_dups_vs_corpus"] == 1
+        assert man["near_dups_vs_corpus"] == 1
+        assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {102}
+
+        with pytest.raises(ValueError, match="num_perm=32"):
+            inc.build_index(corpus, path, prefix="t_meta", mode="append")
+    finally:
+        for t in ("t_meta_exact", "t_meta_bands", "t_meta_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
