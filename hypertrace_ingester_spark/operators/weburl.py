@@ -35,6 +35,27 @@ _TRACKING_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 
+def _host_expr(url_col: str) -> Column:
+    raw_host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    # strip a port unless the "host" is a bracketed IPv6 literal
+    return F.when(
+        raw_host.startswith("["), raw_host
+    ).otherwise(F.split(raw_host, ":").getItem(0))
+
+
+def _reg_domain_expr(host: Column) -> Column:
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$") | host.startswith("[")
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    return (
+        F.when(is_ip | (n <= 2), host)
+        .when(last2.isin(*_MULTI_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
 def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Add ``scheme, host, registered_domain, path, query`` columns.
 
@@ -43,27 +64,13 @@ def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     ``bbc.co.uk``). IP hosts pass through whole."""
     url = F.col(url_col)
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    raw_host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    # strip a port unless the "host" is a bracketed IPv6 literal
-    host = F.when(
-        raw_host.startswith("["), raw_host
-    ).otherwise(F.split(raw_host, ":").getItem(0))
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$") | host.startswith("[")
-    last2 = F.array_join(F.slice(labels, -2, 2), ".")
-    last3 = F.array_join(F.slice(labels, -3, 3), ".")
-    reg = (
-        F.when(is_ip | (n <= 2), host)
-        .when(last2.isin(*_MULTI_SUFFIXES) & (n >= 3), last3)
-        .otherwise(last2)
-    )
+    host = _host_expr(url_col)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     return (
         df.withColumn("scheme", scheme)
         .withColumn("host", host)
-        .withColumn("registered_domain", reg)
+        .withColumn("registered_domain", _reg_domain_expr(host))
         .withColumn("path", path)
         .withColumn("query", query)
     )
@@ -75,9 +82,11 @@ def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     SORTED, trailing slash trimmed. Two crawls of the same page then agree
     on identity, so URL-level exact dedup (groupBy canonical_url) runs
     before a single byte of text is compared — the cheapest dedup tier a
-    web pipeline has."""
-    parts = url_parts(df, url_col)
-    scheme, host = F.col("scheme"), F.col("host")
+    web pipeline has. Only ``canonical_url`` is added — no intermediate
+    part columns touch the caller's frame."""
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = _host_expr(url_col)
     default_port = F.when(scheme == "http", F.lit("80")).when(
         scheme == "https", F.lit("443")).otherwise(F.lit(""))
     # authority INCLUDING the port (_HOST_RE's class excludes ':')
@@ -88,14 +97,14 @@ def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     port_part = F.when(
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
-    path = F.col("path")
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     norm_path = F.when(
         (F.length(path) > 1) & path.endswith("/"),
-        F.expr(f"substring(path, 1, length(path) - 1)"),
+        F.substring(path, 1, F.length(path) - 1),
     ).otherwise(F.when(path == "", F.lit("/")).otherwise(path))
     params = F.array_sort(
         F.filter(
-            F.split(F.col("query"), "&"),
+            F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
             lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
         )
     )
@@ -103,9 +112,7 @@ def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
     canon = F.concat(scheme, F.lit("://"), host, port_part, norm_path, query_part)
-    return parts.withColumn("canonical_url", canon).drop(
-        "scheme", "host", "registered_domain", "path", "query"
-    )
+    return df.withColumn("canonical_url", canon)
 
 
 def blocklist_filter(
@@ -116,11 +123,12 @@ def blocklist_filter(
     broadcast anti-join — list-sized side never shuffles the corpus."""
     spark = df.sparkSession
     bl = spark.createDataFrame(
-        [(d.lower(),) for d in blocked_domains], "registered_domain string"
+        [(d.lower(),) for d in blocked_domains], "_wu_dom string"
     )
-    parts = url_parts(df, url_col)
-    out = parts.join(F.broadcast(bl), "registered_domain", "left_anti")
-    return out.drop("scheme", "host", "registered_domain", "path", "query")
+    # internal join key only — the caller's columns (even ones named
+    # host/registered_domain) are never touched
+    tagged = df.withColumn("_wu_dom", _reg_domain_expr(_host_expr(url_col)))
+    return tagged.join(F.broadcast(bl), "_wu_dom", "left_anti").drop("_wu_dom")
 
 
 def per_domain_cap(
@@ -143,10 +151,9 @@ def per_domain_cap(
     where a naive window would skew-stall."""
     from pyspark.sql import Window
 
-    parts = url_parts(df, url_col).drop("scheme", "host", "path", "query")
-    counts = parts.groupBy("registered_domain").agg(
-        F.count("*").alias("_dom_n"))
-    with_n = parts.join(F.broadcast(counts), "registered_domain")
+    parts = df.withColumn("_wu_dom", _reg_domain_expr(_host_expr(url_col)))
+    counts = parts.groupBy("_wu_dom").agg(F.count("*").alias("_dom_n"))
+    with_n = parts.join(F.broadcast(counts), "_wu_dom")
     under = with_n.where(F.col("_dom_n") <= cap)
     rank_hash = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 30))
     # hash prefilter: expected survivors ≈ 1.5×cap + 64 (the additive slack
@@ -158,10 +165,10 @@ def per_domain_cap(
         (F.col("_dom_n") > cap)
         & (rank_hash < (keep_p * (1 << 30)).cast("long"))
     )
-    w = Window.partitionBy("registered_domain").orderBy(rank_hash, id_col)
+    w = Window.partitionBy("_wu_dom").orderBy(rank_hash, id_col)
     capped = (
         over.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= cap)
         .drop("_rk")
     )
-    return under.unionByName(capped).drop("_dom_n", "registered_domain")
+    return under.unionByName(capped).drop("_dom_n", "_wu_dom")

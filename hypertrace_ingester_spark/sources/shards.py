@@ -38,6 +38,12 @@ def assign_shards(
     """Add ``shard`` (uniform hash bucket of the id) and ``shard_pos``
     (the within-shard sort key — a second independent hash, so readers
     see a deterministic global shuffle, not input order)."""
+    taken = {"shard", "shard_pos"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input already has {sorted(taken)} — rename or drop before "
+            "sharding (silent overwrite would corrupt shard identity)"
+        )
     return df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
         .cast("int"),

@@ -109,3 +109,28 @@ def test_shard_writer_deterministic_and_pruned(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
     assert pf and "shard" in pf[0] and " = 3" in pf[0], plan
+
+
+def test_no_caller_column_clobber(spark):
+    """Filters/canonicalization never touch caller columns, even ones
+    named like URL parts (host, registered_domain, ...)."""
+    df = spark.createDataFrame(
+        [(1, "https://a.blogspot.com/x", "MY_HOST", "MY_REG")],
+        "doc_id long, url string, host string, registered_domain string")
+    out = wu.canonical_url(df)
+    assert out.columns == df.columns + ["canonical_url"]
+    r = out.first()
+    assert r["host"] == "MY_HOST" and r["registered_domain"] == "MY_REG"
+    kept = wu.blocklist_filter(df, ["other.com"])
+    assert set(kept.columns) == set(df.columns)
+    assert kept.first()["host"] == "MY_HOST"
+    assert wu.blocklist_filter(df, ["blogspot.com"]).count() == 0
+    capped = wu.per_domain_cap(df, cap=5)
+    assert set(capped.columns) == set(df.columns)
+
+
+def test_shard_name_collision_raises(spark):
+    import pytest as _pt
+    df = spark.createDataFrame([(1, 2)], "doc_id long, shard long")
+    with _pt.raises(ValueError, match="shard"):
+        sh.assign_shards(df, 4)
