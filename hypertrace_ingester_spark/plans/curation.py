@@ -37,6 +37,7 @@ from ..operators import bpe as bp
 from ..operators import dedup as dd
 from ..operators import quality_model as qm
 from ..operators import sampling as sp
+from ..operators import incremental as inc
 from ..operators import text as tx
 from ..operators import weburl as wu
 
@@ -91,6 +92,18 @@ class CurationConfig:
     )
     block_tokens: int = 2048
     seed: int = 0
+    # opt-in dedup against a PERSISTED corpus index (the daily-crawl flow,
+    # operators/incremental.py): after within-delta dedup, the survivors
+    # probe the index (delta-side-only shuffles) and docs already in the
+    # corpus — exactly or nearly — drop; with ``corpus_index_append`` the
+    # final keep set (post-mixture) appends back, so tomorrow's delta
+    # dedups against today's. Runs in the resumable TAIL: a resumed run
+    # re-probes the CURRENT index (a crashed run's partial append is
+    # harmless — the index's probe semantics are set-like).
+    corpus_index_path: str | None = None
+    corpus_index_prefix: str = "corpus_index"
+    corpus_jaccard_threshold: float = 0.5
+    corpus_index_append: bool = False
     # stage-boundary checkpoint for restart (a 100 TB curation run WILL be
     # preempted mid-way): the post-dedup corpus — the output of the entire
     # expensive shuffle prefix (profile scan, filters, exact dedup, near-dup
@@ -272,9 +285,19 @@ def _curation_tail(
     record,
     t0: float,
 ) -> tuple[DataFrame, dict]:
-    """Stages after the dedup checkpoint boundary: decontaminate → mixture
-    → split → (BPE) → pack. Cheap relative to the prefix — recomputed on
-    resume rather than checkpointed."""
+    """Stages after the dedup checkpoint boundary: [corpus-index probe] →
+    decontaminate → mixture → split → (BPE) → pack → [index append].
+    Cheap relative to the prefix — recomputed on resume rather than
+    checkpointed."""
+    # 3c) opt-in dedup against the persisted corpus index
+    if cfg.corpus_index_path:
+        index = inc.load_index(
+            spark, cfg.corpus_index_path, prefix=cfg.corpus_index_prefix)
+        deduped, inc_man = inc.incremental_dedup(
+            deduped, index, threshold=cfg.corpus_jaccard_threshold)
+        manifest["corpus_dedup"] = inc_man
+        record("corpus_dedup", deduped)
+
     # 4) benchmark decontamination
     if eval_docs is not None:
         flagged = dd.decontaminate(deduped, eval_docs, k=cfg.decontaminate_k)
@@ -293,6 +316,15 @@ def _curation_tail(
     )
     mixed = _tokens(mixed.drop("n_tokens"))
     record("mixed", mixed)
+
+    # 5b) opt-in index append — the FINAL keep set becomes corpus state
+    # tomorrow's delta probes; pin rows first so the split/pack lineage
+    # below never recomputes through the mutated index
+    if cfg.corpus_index_path and cfg.corpus_index_append:
+        mixed = mixed.localCheckpoint()
+        manifest["index_append"] = inc.build_index(
+            mixed, cfg.corpus_index_path, prefix=cfg.corpus_index_prefix,
+            mode="append")
 
     # 6) deterministic split
     split = sp.hash_split(mixed, cfg.split_weights, seed=cfg.seed)

@@ -257,3 +257,36 @@ def test_url_stage_skipped_without_column(spark):
     cfg = CurationConfig(url_dedup=True, near_dup=False)
     _, man = run_curation(spark, docs, config=cfg)
     assert "url_curated" not in man["stages"]
+
+
+def test_corpus_index_stage_daily_crawl_flow(spark, tmp_path):
+    """Day 1 seeds the persisted index from its curated keep set; day 2
+    re-presents the full corpus — everything already kept must drop via
+    the index probe, and only genuinely new content survives."""
+    from hypertrace_ingester_spark.operators import incremental as inc
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    idx = str(tmp_path / "corpus_idx")
+    cfg = CurationConfig(
+        corpus_index_path=idx, corpus_index_prefix="t_cur_idx",
+        corpus_index_append=True, near_dup=False,
+    )
+    try:
+        inc.build_index(
+            spark.createDataFrame([], "doc_id string, text string"),
+            idx, prefix="t_cur_idx")
+        out1, man1 = run_curation(spark, docs.where("doc_id % 2 = 0"),
+                                  config=cfg)
+        assert man1["corpus_dedup"]["near_dups_vs_corpus"] == 0  # empty index
+        assert man1["index_append"]["docs_indexed"] == man1["stages"]["mixed"]["rows"]
+
+        # day 2: all docs — every even doc is an exact dup of day 1's
+        # appended keep set; odd docs are new
+        out2, man2 = run_curation(spark, docs, config=cfg)
+        d2 = man2["corpus_dedup"]
+        assert d2["exact_dups_vs_corpus"] == man1["stages"]["mixed"]["rows"]
+        ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+        assert ids2 and all(int(i) % 2 == 1 for i in ids2)
+    finally:
+        for t in ("t_cur_idx_exact", "t_cur_idx_bands", "t_cur_idx_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
