@@ -40,6 +40,7 @@ from ..operators import sampling as sp
 from ..operators import incremental as inc
 from ..operators import text as tx
 from ..operators import weburl as wu
+from ..sources import shards as sh
 
 
 @dataclass
@@ -104,6 +105,11 @@ class CurationConfig:
     corpus_index_prefix: str = "corpus_index"
     corpus_jaccard_threshold: float = 0.5
     corpus_index_append: bool = False
+    # opt-in final write: the packed TRAIN split lands as deterministic
+    # training shards (sources/shards.py — hash membership + in-shard
+    # order, one task per shard dir); per-shard manifest recorded
+    shard_dir: str | None = None
+    n_shards: int = 64
     # stage-boundary checkpoint for restart (a 100 TB curation run WILL be
     # preempted mid-way): the post-dedup corpus — the output of the entire
     # expensive shuffle prefix (profile scan, filters, exact dedup, near-dup
@@ -348,5 +354,9 @@ def _curation_tail(
         r["split"]: r["n"]
         for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+    # 8) opt-in: the packed train split lands as training shards
+    if cfg.shard_dir:
+        manifest["shards"] = sh.write_training_shards(
+            packed, cfg.shard_dir, n_shards=cfg.n_shards, seed=cfg.seed + 23)
     manifest["elapsed_sec"] = round(time.time() - t0, 2)
     return curated, manifest

@@ -290,3 +290,16 @@ def test_corpus_index_stage_daily_crawl_flow(spark, tmp_path):
     finally:
         for t in ("t_cur_idx_exact", "t_cur_idx_bands", "t_cur_idx_sigs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_shard_output_stage(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sd = str(tmp_path / "shards")
+    cfg = CurationConfig(shard_dir=sd, n_shards=4, near_dup=False)
+    out, man = run_curation(spark, docs, config=cfg)
+    shards = man["shards"]["shards"]
+    assert sum(s["rows"] for s in shards.values()) == man["stages"]["train_packed"]["rows"]
+    assert sum(s["tokens"] for s in shards.values()) == man["stages"]["train_packed"]["tokens"]
+    back = spark.read.parquet(sd)
+    assert back.count() == man["stages"]["train_packed"]["rows"]
+    assert "tok_offset" in back.columns  # packing columns ride into shards
