@@ -134,3 +134,21 @@ def test_shard_name_collision_raises(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id long, shard long")
     with _pt.raises(ValueError, match="shard"):
         sh.assign_shards(df, 4)
+
+
+def test_canonicalization_laws(spark, url_df):
+    """Fixpoint law: canonicalizing an already-canonical URL is identity
+    (no double-strip, no port/slash oscillation); cap law: per_domain_cap
+    is idempotent."""
+    canon1 = wu.canonical_url(url_df).select(
+        F.col("doc_id"), F.col("canonical_url").alias("url"))
+    canon2 = wu.canonical_url(canon1)
+    bad = canon2.where(F.col("canonical_url") != F.col("url"))
+    assert bad.count() == 0, bad.collect()
+
+    rows = [(i, f"https://d{i % 6}.net/p{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    once = wu.per_domain_cap(df, cap=4)
+    twice = wu.per_domain_cap(once, cap=4)
+    assert {r["doc_id"] for r in once.collect()} == {
+        r["doc_id"] for r in twice.collect()}
