@@ -36,13 +36,19 @@ def corpus_datacard(
     text_col: str = "text",
     group_cols: tuple[str, ...] = ("source", "lang"),
     exact_quantiles: bool = True,
+    exact_distinct: bool = True,
 ) -> DataFrame:
     """Per-group corpus accounting: ``n_docs, n_tokens, n_chars,
     mean_doc_tokens, p50/p90/p99 doc tokens, distinct_docs,
     exact_dup_rate, pct_docs, pct_tokens``.
 
     The share columns come from an unpartitioned window over the GROUPED
-    result — group-cardinality rows, never the corpus."""
+    result — group-cardinality rows, never the corpus.
+
+    ``exact_distinct=False`` swaps the exact distinct (an expand +
+    second shuffle) for the mergeable HLL++ sketch
+    (``approx_count_distinct``, rsd 1%) — with ``exact_quantiles=False``
+    the whole card is then ONE partial-agg shuffle, the 100 TB shape."""
     gcols = [c for c in group_cols if c in docs.columns]
     stats = _doc_stats(docs, text_col, gcols)
     if exact_quantiles:
@@ -73,7 +79,8 @@ def corpus_datacard(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         F.sum("n_chars").alias("n_chars"),
-        F.count_distinct(F.col("_th")).alias("distinct_docs"),
+        (F.count_distinct(F.col("_th")) if exact_distinct
+         else F.approx_count_distinct("_th", 0.01)).alias("distinct_docs"),
         *quants,
     )
     wall = Window.partitionBy()

@@ -101,3 +101,25 @@ def test_length_histogram_conserves(spark):
         (F.col("n") < F.pow(F.lit(2.0), F.col("b")))
         | (F.col("n") >= F.pow(F.lit(2.0), F.col("b") + 1))
     ).count() == 0
+
+
+def test_sketch_path_one_shuffle(spark):
+    """exact_quantiles=False + exact_distinct=False: the whole card is one
+    partial-agg shuffle over the narrow stats frame (plus the tiny window
+    over the grouped result), and the sketch distinct stays within its
+    1% rsd of truth."""
+    docs = spark.read.parquet(DOCS)
+    card = dc.corpus_datacard(docs, exact_quantiles=False, exact_distinct=False)
+    exact = dc.corpus_datacard(docs)
+    e = {(r["source"], r["lang"]): r["distinct_docs"] for r in exact.collect()}
+    for r in card.collect():
+        truth = e[(r["source"], r["lang"])]
+        assert abs(r["distinct_docs"] - truth) <= max(2, 0.05 * truth)
+    plan = card._jdf.queryExecution().executedPlan().toString()
+    # corpus-row exchanges: exactly one (the groupBy, with partial HLL +
+    # partial percentile sketches BEFORE it); the window's exchange moves
+    # group-grain rows only. Count the AQE final plan section alone.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_approx_count_distinct" in final, plan
+    assert "partial_percentile_approx" in final, plan
