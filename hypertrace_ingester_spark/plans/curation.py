@@ -37,9 +37,11 @@ from ..operators import bpe as bp
 from ..operators import dedup as dd
 from ..operators import quality_model as qm
 from ..operators import sampling as sp
+from ..operators import datacard as dc
 from ..operators import incremental as inc
 from ..operators import text as tx
 from ..operators import weburl as wu
+from ..sources import prometheus as prom
 from ..sources import shards as sh
 
 
@@ -110,6 +112,13 @@ class CurationConfig:
     # order, one task per shard dir); per-shard manifest recorded
     shard_dir: str | None = None
     n_shards: int = 64
+    # opt-in run artifacts: manifest JSON + Prometheus text exposition
+    # (same textfile-collector contract as the span pipeline's S6
+    # exporter) land here; with ``datacard=True`` the manifest also
+    # carries the per-(source, lang) release statistics of the OUTPUT
+    # (sketch path — one extra shuffle over the curated frame)
+    metrics_dir: str | None = None
+    datacard: bool = False
     # stage-boundary checkpoint for restart (a 100 TB curation run WILL be
     # preempted mid-way): the post-dedup corpus — the output of the entire
     # expensive shuffle prefix (profile scan, filters, exact dedup, near-dup
@@ -358,5 +367,16 @@ def _curation_tail(
     if cfg.shard_dir:
         manifest["shards"] = sh.write_training_shards(
             packed, cfg.shard_dir, n_shards=cfg.n_shards, seed=cfg.seed + 23)
+    if cfg.datacard:
+        manifest["datacard"] = [
+            r.asDict() for r in dc.corpus_datacard(
+                mixed, exact_quantiles=False, exact_distinct=False
+            ).collect()
+        ]
     manifest["elapsed_sec"] = round(time.time() - t0, 2)
+    if cfg.metrics_dir:
+        os.makedirs(cfg.metrics_dir, exist_ok=True)
+        with open(os.path.join(cfg.metrics_dir, "_curation_run.json"), "w") as fh:
+            json.dump(manifest, fh, default=str)
+        prom.write_curation_metrics(cfg.metrics_dir, manifest)
     return curated, manifest

@@ -77,3 +77,40 @@ def write_pipeline_metrics(out_dir: str, manifest: dict) -> str:
     with open(path, "w") as fh:
         fh.write(text)
     return path
+
+
+def write_curation_metrics(out_dir: str, manifest: dict) -> str:
+    """Flatten a curation-run manifest (plans/curation.py) into
+    ``<out_dir>/metrics.prom`` — same textfile-collector contract as the
+    span pipeline's exporter, so one scrape config covers both faces."""
+    triples: list[tuple[str, dict[str, str], float]] = []
+    for stage, rec in manifest.get("stages", {}).items():
+        labels = {"stage": stage}
+        triples.append(("curation_stage_rows", labels, float(rec["rows"])))
+        triples.append(("curation_stage_tokens", labels, float(rec["tokens"])))
+    for key, val in manifest.get("corpus_dedup", {}).items():
+        if isinstance(val, (int, float)):
+            triples.append((f"curation_corpus_{key}_total", {}, float(val)))
+    for split, n in manifest.get("split_counts", {}).items():
+        triples.append(("curation_split_rows", {"split": split}, float(n)))
+    triples.append(
+        ("curation_run_seconds", {}, float(manifest.get("elapsed_sec", 0.0)))
+    )
+    text = render_exposition(
+        triples,
+        help_text={
+            "curation_stage_rows": "docs surviving each curation stage",
+            "curation_stage_tokens": "tokens surviving each curation stage",
+            "curation_run_seconds": "wall seconds for the curation run",
+        },
+        types={
+            "curation_stage_rows": "gauge",
+            "curation_stage_tokens": "gauge",
+            "curation_run_seconds": "gauge",
+        },
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "metrics.prom")
+    with open(path, "w") as fh:
+        fh.write(text)
+    return path

@@ -303,3 +303,21 @@ def test_shard_output_stage(spark, tmp_path):
     back = spark.read.parquet(sd)
     assert back.count() == man["stages"]["train_packed"]["rows"]
     assert "tok_offset" in back.columns  # packing columns ride into shards
+
+
+def test_metrics_and_datacard_artifacts(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    md = str(tmp_path / "metrics")
+    cfg = CurationConfig(metrics_dir=md, datacard=True, near_dup=False)
+    out, man = run_curation(spark, docs, config=cfg)
+    # datacard covers the OUTPUT corpus at (source, lang) grain
+    assert man["datacard"] and sum(
+        r["n_docs"] for r in man["datacard"]) == man["stages"]["mixed"]["rows"]
+    # exposition format: HELP/TYPE headers + one line per stage metric
+    import json as _json
+    text = open(os.path.join(md, "metrics.prom")).read()
+    assert "# TYPE curation_stage_rows gauge" in text
+    assert f'curation_stage_rows{{stage="mixed"}} {man["stages"]["mixed"]["rows"]}' in text
+    assert "curation_run_seconds" in text
+    saved = _json.load(open(os.path.join(md, "_curation_run.json")))
+    assert saved["stages"]["input"]["rows"] == man["stages"]["input"]["rows"]
