@@ -796,12 +796,24 @@ _PII_PHONE = txt.PII_PATTERNS["phone"]
         "3-gram shingle count (the primitive under MinHash/Jaccard dedup) "
         "— ONE scan of the text column (text.text_profile); at 100 TB the "
         "scan dominates, so curation metrics are computed fused, never as "
-        "seven passes.",
+        "seven passes. Round 4: the input is threaded through the crawl "
+        "FIRST MILE — each doc is wrapped as an HTML page inside a WARC "
+        "response record, records are concatenated into synthetic WARC "
+        "file payloads, and Spark must split the files, parse WARC+HTTP "
+        "headers, strip tags/entities, and drop the injected "
+        "nav/footer/script boilerplate (operators/webextract.py + "
+        "sources/warc.py) to recover (doc_id, lang, text) BYTE-EXACTLY "
+        "before profiling. The oracle still reads the raw documents table "
+        "and hashes the raw text (redacted_fp), so the match verifies the "
+        "whole WARC->HTML->text extraction end-to-end (multimodal-pattern "
+        "proof; the extraction itself is pure JVM regexp column work).",
 )
 def d_text_profile(spark, sf_dir):
+    from .operators import webextract as webx
     from .sources import widen
 
-    df = txt.text_profile(widen(load_table(spark, sf_dir, "documents")))
+    docs = webx.roundtrip_documents(widen(load_table(spark, sf_dir, "documents")))
+    df = txt.text_profile(docs)
     return df.select(
         "doc_id",
         "lang",
