@@ -139,6 +139,56 @@ def _ckpt_state_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "_curation_manifest.json")
 
 
+def ingest_crawl(
+    spark: SparkSession,
+    warc_path: str | None = None,
+    payloads: DataFrame | None = None,
+    min_words: int = 1,
+    max_link_density: float = 0.35,
+) -> DataFrame:
+    """Crawl files → documents: the ingestion head that makes the curation
+    plan start where a real corpus build starts (WARC bytes, not clean
+    parquet). Parses WARC records (sources/warc.py), keeps well-formed
+    HTTP-200 text/html responses, boilerplate-extracts the text
+    (operators/webextract.py), and emits the documents shape run_curation
+    consumes — WITH a ``url`` column, so the URL-grain stages (canonical
+    dedup / blocklist / domain cap) activate on their real input.
+
+    ``doc_id`` is ``xxhash64(record_id)`` (stable across re-crawls of the
+    same record id); ``source`` is the registered domain of the target URI
+    (the per-source grain the mixture/datacard stages weigh). Map-only:
+    record split, header parse, and extraction all fuse into the file scan
+    — the first shuffle of a crawl build belongs to dedup, not ingestion.
+    """
+    from ..operators import webextract as wx
+    from ..sources import warc as wc
+
+    if payloads is None:
+        if warc_path is None:
+            raise ValueError("ingest_crawl needs warc_path or payloads")
+        payloads = wc.read_warc_files(spark, warc_path)
+    parsed = wc.parse_warc(payloads).where(
+        (F.col("warc_type") == "response")
+        & F.col("content_len_ok")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    )
+    ex = wx.extract_text(
+        parsed, min_words=min_words, max_link_density=max_link_density
+    )
+    host = wu._host_expr("target_uri")
+    return ex.select(
+        F.xxhash64(F.col("record_id")).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        wu._reg_domain_expr(host).alias("source"),
+        F.when(F.col("page_lang") == "", "unk")
+        .otherwise(F.col("page_lang"))
+        .alias("lang"),
+        F.col("page_title").alias("title"),
+        F.col("text"),
+    ).where(F.col("text") != "")
+
+
 def run_curation(
     spark: SparkSession,
     docs: DataFrame,

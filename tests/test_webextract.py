@@ -192,3 +192,61 @@ def test_read_warc_files_binary_face(spark, tmp_path):
     ex = wx.extract_text(parsed, html_col="html")
     got = sorted(r.text for r in ex.collect())
     assert got == ["file face body one", "file face body two"]
+
+
+def test_ingest_crawl_to_curation(spark, tmp_path):
+    """The full corpus-build story in one chain: WARC files on disk →
+    ingest_crawl (parse + extract + url/source/lang derivation) →
+    run_curation with the URL-grain stages armed. The crawl head feeds the
+    plan exactly the documents shape it wants, url column included."""
+    from hypertrace_ingester_spark.plans.curation import (
+        CurationConfig,
+        ingest_crawl,
+        run_curation,
+    )
+
+    pages = wx.generate_pages(spark, 80)
+    uri = F.concat(
+        F.lit("https://www.site"),
+        (F.col("page_id") % 4).cast("string"),
+        F.lit(".org/p/"),
+        F.col("page_id").cast("string"),
+    )
+    recs = pages.select(
+        "page_id",
+        warc.wrap_record(F.col("page_id"), F.col("html"), uri=uri).alias("record"),
+    )
+    payload = warc.group_warc_files(recs, id_col="page_id", n_files=3)
+    out_dir = tmp_path / "crawl"
+    out_dir.mkdir()
+    for i, r in enumerate(payload.collect()):
+        (out_dir / f"part-{i:05d}.warc").write_bytes(r.payload.encode("utf-8"))
+
+    docs = ingest_crawl(spark, warc_path=str(out_dir) + "/*.warc")
+    rows = docs.collect()
+    assert len(rows) == 80
+    # source = REGISTERED domain of the target URI (www. stripped by the
+    # registrable-domain rule), the per-source grain mixture/datacard use
+    assert {r.source for r in rows} == {f"site{k}.org" for k in range(4)}
+    assert all(r.lang in wx.PAGE_LANGS for r in rows)
+    by_title = {r.title: r for r in rows}
+    for i in (0, 7, 41):
+        law = wx.page_laws(i)
+        assert by_title[f"Page {i}"].text == "\n\n".join(law["paras"])
+
+    cfg = CurationConfig(
+        url_dedup=True,
+        domain_cap=15,
+        quality_filter=False,
+        gopher_filter=False,
+        redact_pii=False,
+        near_dup=False,
+    )
+    curated, man = run_curation(spark, docs, config=cfg)
+    s = man["stages"]
+    assert s["input"]["rows"] == 80
+    assert s["url_curated"]["rows"] <= 4 * 15
+    assert curated.count() > 0
+    assert set(curated.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
