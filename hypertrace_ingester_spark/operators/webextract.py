@@ -168,23 +168,33 @@ def extract_text(
             F.regexp_count(seg, F.lit(r"(?i)<a[\s>]")).alias("n_links"),
         ),
     )
+    # Materialize the block array ONCE behind a Generate barrier (1-element
+    # explode): higher-order-function expressions are not whole-stage
+    # codegen'd and get NO interpreted CSE, so without the barrier Catalyst's
+    # project-collapse duplicates the tag-strip regexp work into every
+    # output column that references it (measured 2.2× at 100k pages).
+    # Generate emits `_wx_blocks` as an attribute; downstream projections
+    # reference the attribute, never the expression.
+    with_blocks = df.select("*", F.explode(F.array(blocks)).alias("_wx_blocks"))
+    b = F.col("_wx_blocks")
     kept = F.filter(
-        blocks,
-        lambda b: (b["n_words"] >= F.greatest(F.lit(min_words), F.lit(1)))
+        b,
+        lambda x: (x["n_words"] >= F.greatest(F.lit(min_words), F.lit(1)))
         & (
-            b["n_links"].cast("double")
-            <= F.lit(max_link_density) * F.greatest(b["n_words"], F.lit(1))
+            x["n_links"].cast("double")
+            <= F.lit(max_link_density) * F.greatest(x["n_words"], F.lit(1))
         ),
     )
     return (
-        df.withColumn("page_lang", lang)
+        with_blocks.withColumn("page_lang", lang)
         .withColumn("page_title", title)
-        .withColumn("n_blocks", F.size(blocks))
+        .withColumn("n_blocks", F.size(b))
         .withColumn("n_blocks_kept", F.size(kept))
         .withColumn(
             out_col,
-            F.array_join(F.transform(kept, lambda b: b["raw"]), "\n\n"),
+            F.array_join(F.transform(kept, lambda x: x["raw"]), "\n\n"),
         )
+        .drop("_wx_blocks")
     )
 
 
