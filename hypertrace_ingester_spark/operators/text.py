@@ -148,16 +148,22 @@ def c4_line_signals(
     text_col: str = "text",
     min_line_words: int = 5,
     min_sentences: int = 3,
+    badwords: list[str] | None = None,
 ) -> DataFrame:
     """C4 line-level cleaning heuristics (Raffel et al. 2020 §2.2, public):
     a line survives only if it ends in terminal punctuation, has at least
     ``min_line_words`` words, and does not mention "javascript"; the page
     is kept (``c4_keep``) only if it never says "lorem ipsum", contains no
-    curly brace (code marker), and the cleaned text still has at least
-    ``min_sentences`` sentences. Emits the cleaned ``text_c4`` plus audit
-    columns. Pure column expressions over one split — a map-only stage that
-    runs BEFORE any dedup shuffle (C4 applies it pre-dedup), and every
-    predicate is restatable by the DuckDB oracle verbatim."""
+    curly brace (code marker), the cleaned text still has at least
+    ``min_sentences`` sentences, and — when a ``badwords`` list is supplied
+    — no word of the page matches the list (C4's page-level blocklist
+    filter; the published recipe uses the LDNOOBW list, which the CALLER
+    provides as data — word-boundary, case-insensitive, whole-word match,
+    so 'class' never trips a 'lass' entry). Emits the cleaned ``text_c4``
+    plus audit columns. Pure column expressions over one split — a
+    map-only stage that runs BEFORE any dedup shuffle (C4 applies it
+    pre-dedup), and every predicate is restatable by the DuckDB oracle
+    verbatim."""
     lines = F.split(F.col(text_col), "\n")
 
     def line_keep(ln):
@@ -180,13 +186,27 @@ def c4_line_signals(
         )
         .withColumn("has_lorem_ipsum", F.lower(F.col(text_col)).contains("lorem ipsum"))
         .withColumn("has_brace", F.col(text_col).contains("{"))
+        .withColumn("has_badword", _badword_hit(F.col(text_col), badwords))
         .withColumn(
             "c4_keep",
             ~F.col("has_lorem_ipsum")
             & ~F.col("has_brace")
+            & ~F.col("has_badword")
             & (F.col("n_sentences") >= min_sentences),
         )
     )
+
+
+def _badword_hit(text: Column, badwords: list[str] | None) -> Column:
+    """Whole-word, case-insensitive page-blocklist predicate (one alternation
+    regexp — a single codegen'd pass regardless of list size; the LDNOOBW
+    list is ~400 entries, far below regex-size limits)."""
+    if not badwords:
+        return F.lit(False)
+    import re as _re
+
+    pat = r"(?i)\b(?:" + "|".join(_re.escape(w) for w in badwords) + r")\b"
+    return F.regexp_count(text, F.lit(pat)) > 0
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -63,6 +63,9 @@ class CurationConfig:
     # table is single-line word soup with no sentence punctuation, which
     # c4_keep would drop wholesale).
     c4_clean: bool = False
+    # page-level word blocklist for the C4 stage (the published recipe's
+    # LDNOOBW filter; the list itself is caller-supplied data)
+    c4_badwords: list[str] | None = None
     gopher_filter: bool = True
     quality_filter: bool = True
     redact_pii: bool = True
@@ -257,7 +260,7 @@ def run_curation(
     # 0) opt-in C4 line cleaning — another map-only stage ahead of the
     # profile scan, so every later stage sees the cleaned, smaller text
     if cfg.c4_clean:
-        sig = tx.c4_line_signals(docs)
+        sig = tx.c4_line_signals(docs, badwords=cfg.c4_badwords)
         docs = sig.where(F.col("c4_keep")).select(
             *base_cols, F.col("text_c4").alias("text")
         )

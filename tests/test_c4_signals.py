@@ -7,8 +7,8 @@ C4 failure mode planted (unterminated lines, short lines, javascript
 mentions, lorem-ipsum pages, curly-brace pages), written once to parquet
 so BOTH engines read identical bytes. DuckDB restates every predicate
 verbatim: line keep = terminal punctuation AND >=5 words AND no
-"javascript"; page keep = no lorem ipsum, no brace, >=3 sentences in the
-CLEANED text."""
+"javascript"; page keep = no lorem ipsum, no brace, no blocklist word
+(whole-word, case-insensitive), >=3 sentences in the CLEANED text."""
 
 import os
 
@@ -24,7 +24,11 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason=f"testdata dir {SF_DIR} missing"
 )
 
-_ORACLE_SQL = """
+BADWORDS = ["badplaceholderword", "otherbadword"]
+# identical RE2 pattern text in both engines (word-boundary, case-insensitive)
+_BADPAT = r"(?i)\b(?:badplaceholderword|otherbadword)\b"
+
+_ORACLE_SQL = f"""
 WITH base AS (
   SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM docs_c4
 ),
@@ -48,8 +52,10 @@ SELECT doc_id,
        text_c4,
        CAST(len(regexp_extract_all(text_c4, '[.!?]')) AS INT) AS n_sentences,
        contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
-       contains(text, '{') AS has_brace,
-       (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+       contains(text, '{{') AS has_brace,
+       regexp_matches(text, '{_BADPAT}') AS has_badword,
+       (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{{')
+        AND NOT regexp_matches(text, '{_BADPAT}')
         AND len(regexp_extract_all(text_c4, '[.!?]')) >= 3) AS c4_keep
 FROM cleaned
 """
@@ -78,6 +84,12 @@ def _c4_fixture(tmp_path) -> str:
             doc_lines.insert(0, "Lorem Ipsum dolor sit amet placeholder.")
         if doc_id % 17 == 0:
             doc_lines.append("function() { return 1; }")
+        if doc_id % 19 == 0:
+            # page-level blocklist hit; 'embadplaceholderworded' on %23 pages
+            # must NOT trip it (word-boundary rule)
+            doc_lines.append("This page contains BadPlaceholderWord sadly.")
+        if doc_id % 23 == 0:
+            doc_lines.append("The embadplaceholderworded token is innocent.")
         rows.append({"doc_id": int(doc_id), "text": "\n".join(doc_lines)})
     path = str(tmp_path / "docs_c4.parquet")
     pd.DataFrame(rows).to_parquet(path, index=False)
@@ -89,7 +101,7 @@ def test_c4_signals_match_duckdb_oracle(spark, tmp_path):
 
     path = _c4_fixture(tmp_path)
     docs = spark.read.parquet(path)
-    got = txt.c4_line_signals(docs).drop("text").toPandas()
+    got = txt.c4_line_signals(docs, badwords=BADWORDS).drop("text").toPandas()
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW docs_c4 AS SELECT * FROM read_parquet('{path}')")
@@ -98,6 +110,7 @@ def test_c4_signals_match_duckdb_oracle(spark, tmp_path):
     assert len(got) == len(want) > 0
     # every failure mode is actually present in the fixture
     assert got["has_lorem_ipsum"].any() and got["has_brace"].any()
+    assert got["has_badword"].any() and (~got["has_badword"]).any()
     assert (~got["c4_keep"]).any() and got["c4_keep"].any()
     assert (got["n_kept_lines"] < got["n_lines"]).any()
     assert (got["n_kept_lines"] <= got["n_lines"]).all()
