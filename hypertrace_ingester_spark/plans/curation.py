@@ -56,6 +56,12 @@ class CurationConfig:
     url_dedup: bool = False
     url_blocklist: list[str] | None = None
     domain_cap: int | None = None
+    # opt-in link-graph rank floor (Common Crawl domain-ranks signal):
+    # PageRank over the crawl's OWN outlink graph (needs `links` + url
+    # columns — ingest_crawl keep_links=True provides them); pages whose
+    # registered domain ranks below the floor drop; domains outside the
+    # graph keep a NULL rank and SURVIVE (no link evidence either way).
+    domain_rank_floor: float | None = None
     # opt-in C4 line-level cleaning (Raffel et al. 2020): runs FIRST — C4
     # applies its line filters before every other stage — replacing text
     # with the cleaned text_c4 and dropping pages that fail c4_keep. Off by
@@ -148,6 +154,7 @@ def ingest_crawl(
     payloads: DataFrame | None = None,
     min_words: int = 1,
     max_link_density: float = 0.35,
+    keep_links: bool = False,
 ) -> DataFrame:
     """Crawl files → documents: the ingestion head that makes the curation
     plan start where a real corpus build starts (WARC bytes, not clean
@@ -180,7 +187,7 @@ def ingest_crawl(
         parsed, min_words=min_words, max_link_density=max_link_density
     )
     host = wu._host_expr("target_uri")
-    return ex.select(
+    cols = [
         F.xxhash64(F.col("record_id")).alias("doc_id"),
         F.col("target_uri").alias("url"),
         wu._reg_domain_expr(host).alias("source"),
@@ -189,7 +196,11 @@ def ingest_crawl(
         .alias("lang"),
         F.col("page_title").alias("title"),
         F.col("text"),
-    ).where(F.col("text") != "")
+    ]
+    if keep_links:  # outlinks feed the domain-rank stage / crawl frontier
+        ex = wx.extract_links(ex, html_col="html")
+        cols.append(F.col("links"))
+    return ex.select(*cols).where(F.col("text") != "")
 
 
 def run_curation(
@@ -256,6 +267,35 @@ def run_curation(
         if cfg.domain_cap:
             docs = wu.per_domain_cap(docs, cfg.domain_cap, cfg.url_col)
         record("url_curated", _tokens(docs))
+
+    # 0b) opt-in link-graph domain-rank floor — PageRank over the crawl's
+    # outlink graph (operators/linkgraph.py), then a broadcast rank join;
+    # the graph is narrow (domain, double) so the doc side never shuffles
+    if (
+        cfg.domain_rank_floor is not None
+        and "links" in docs.columns
+        and cfg.url_col in docs.columns
+    ):
+        from ..operators import linkgraph as lgr
+
+        ranks = lgr.page_rank(lgr.domain_edges(docs, url_col=cfg.url_col))
+        dom = wu._reg_domain_expr(wu._host_expr(cfg.url_col))
+        docs = (
+            docs.withColumn("_dom", dom)
+            .join(
+                F.broadcast(ranks.withColumnRenamed("domain", "_dom")),
+                "_dom",
+                "left",
+            )
+            .where(
+                F.col("rank").isNull()
+                | (F.col("rank") >= cfg.domain_rank_floor)
+            )
+            .drop("_dom", "rank")
+        )
+        record("domain_ranked", _tokens(docs))
+    if "links" in docs.columns:
+        docs = docs.drop("links")  # served the graph; never enters text stages
 
     # 0) opt-in C4 line cleaning — another map-only stage ahead of the
     # profile scan, so every later stage sees the cleaned, smaller text

@@ -115,3 +115,57 @@ def test_crawl_to_rank_composition(spark):
     q = {r.doc_id: r.domain_rank for r in lg.domain_quality(docs, ranks).collect()}
     assert q[1] == pytest.approx(1 / 3, abs=1e-12)
     assert q[2] is None
+
+
+def test_domain_rank_floor_curation_stage(spark):
+    """ingest-shaped docs with outlinks → the opt-in domain_rank_floor
+    stage: PageRank over the crawl's own graph drops pages from domains
+    ranking below the floor; domains outside the graph (NULL rank)
+    survive. The floor is derived from the numpy reference so the test
+    pins semantics, not float luck."""
+    from hypertrace_ingester_spark.plans.curation import (
+        CurationConfig,
+        run_curation,
+    )
+
+    # site0→site1→site2→site0 cycle (boosted) + site3 links in but gets no
+    # in-links (teleport-only rank) + site9 with NO absolute links at all
+    # (outside the graph → NULL rank → survives)
+    rows = []
+    for i in range(40):
+        dom = i % 5
+        url = f"https://site{dom}.org/p/{i}"
+        if dom < 3:
+            links = [f"https://site{(dom + 1) % 3}.org/x"]
+        elif dom == 3:
+            links = ["https://site0.org/x"]
+        else:
+            url = f"https://site9.org/p/{i}"
+            links = ["/relative-only"]
+        rows.append((i, url, f"site{dom if dom < 4 else 9}.org", "en",
+                     f"unique doc {i} " * 10 + "end.", links))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, url string, source string, lang string, text string, "
+        "links array<string>",
+    )
+    edges = [("site0.org", "site1.org"), ("site1.org", "site2.org"),
+             ("site2.org", "site0.org"), ("site3.org", "site0.org")]
+    ref = _numpy_pagerank(edges, iters=10)
+    floor = (ref["site3.org"] + min(ref[d] for d in
+             ("site0.org", "site1.org", "site2.org"))) / 2
+    assert ref["site3.org"] < floor  # fixture sanity
+
+    cfg = CurationConfig(
+        domain_rank_floor=floor,
+        quality_filter=False, gopher_filter=False, redact_pii=False,
+        near_dup=False,
+    )
+    out, man = run_curation(spark, docs, config=cfg)
+    s = man["stages"]
+    assert s["input"]["rows"] == 40
+    assert s["domain_ranked"]["rows"] == 32  # 8 site3 pages dropped
+    kept_sources = {r.source for r in out.select("source").distinct().collect()}
+    assert "site3.org" not in kept_sources
+    assert "site9.org" in kept_sources  # NULL-rank domain survives
+    assert "links" not in out.columns
