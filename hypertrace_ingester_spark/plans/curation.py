@@ -278,20 +278,20 @@ def run_curation(
     ):
         from ..operators import linkgraph as lgr
 
-        ranks = lgr.page_rank(lgr.domain_edges(docs, url_col=cfg.url_col))
+        # reserved internal names: a caller's own rank/domain columns must
+        # not collide with the join (keep_canonical's _dedup_cluster_id rule)
+        ranks = lgr.page_rank(lgr.domain_edges(docs, url_col=cfg.url_col)).select(
+            F.col("domain").alias("_dom"), F.col("rank").alias("_dom_rank")
+        )
         dom = wu._reg_domain_expr(wu._host_expr(cfg.url_col))
         docs = (
             docs.withColumn("_dom", dom)
-            .join(
-                F.broadcast(ranks.withColumnRenamed("domain", "_dom")),
-                "_dom",
-                "left",
-            )
+            .join(F.broadcast(ranks), "_dom", "left")
             .where(
-                F.col("rank").isNull()
-                | (F.col("rank") >= cfg.domain_rank_floor)
+                F.col("_dom_rank").isNull()
+                | (F.col("_dom_rank") >= cfg.domain_rank_floor)
             )
-            .drop("_dom", "rank")
+            .drop("_dom", "_dom_rank")
         )
         record("domain_ranked", _tokens(docs))
     if "links" in docs.columns:
