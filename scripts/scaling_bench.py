@@ -48,6 +48,7 @@ from hypertrace_ingester_spark.plans.pipeline import run_pipeline, PipelineConfi
 mode, n, input_dir, reps, scratch = sys.argv[1], int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), sys.argv[5]
 narrow = "narrow" in sys.argv[6:]
 interleaved = "interleaved" in sys.argv[6:]
+noop = "noop" in sys.argv[6:]
 if mode == "executors":
     # N separate executor JVMs x 8 cores — the in-sandbox analog of an
     # N-executor cluster (own heap + GC per executor, shared host DRAM)
@@ -80,6 +81,37 @@ def one_rep():
     dt = time.time() - t0
     shutil.rmtree(out, ignore_errors=True)
     return dt, m
+
+if noop:
+    # compute-only decomposition: the full parse -> enrich -> route DAG with
+    # every routed row (token payload included) materialized into Spark's
+    # built-in `noop` batch writer — all the engine work minus the parquet
+    # encode + tmpfs page faults of the sink. Scaling of THIS variant is the
+    # engine's own N->4N behavior with the one-DRAM-domain write substrate
+    # removed; the aggregate stage is excluded because in the real pipeline
+    # it re-reads the written sink with column pruning (tokens never read),
+    # i.e. it belongs to the write side of the decomposition.
+    from hypertrace_ingester_spark import datagen
+    from hypertrace_ingester_spark.operators import enrich as enrich_ops
+    from hypertrace_ingester_spark.operators import parse as parse_ops
+    from hypertrace_ingester_spark.operators import route as route_ops
+    from pyspark.sql import functions as F
+    _ctx = enrich_ops.EnrichContext(
+        endpoints=datagen.endpoints_dim(spark),
+        services=datagen.services_dim(spark),
+        status_codes=datagen.status_codes_dim(spark),
+    )
+    _rules = datagen.route_rules_dim(spark)
+
+    def one_rep():
+        t0 = time.time()
+        parsed = parse_ops.parse_sequences(seqs)
+        alive = parsed.filter(
+            F.col("has_tenant") & ~F.col("is_dropped")
+        ).select(*parse_ops.PARSE_OUTPUT_COLS)
+        routed = route_ops.route(enrich_ops.enrich_with_bypass(alive, _ctx), _rules)
+        routed.write.format("noop").mode("overwrite").save()
+        return time.time() - t0, {{"total_routed_rows": None}}
 
 def spin_probe():
     # single-thread spin speed: <4 Mops on this box = degraded host window
@@ -119,7 +151,8 @@ else:
 
 
 def _level_cmd(mode: str, n: int, input_dir: str, reps: int, pin: bool,
-               narrow: bool, interleaved: bool = False) -> tuple[list, bool]:
+               narrow: bool, interleaved: bool = False,
+               noop: bool = False) -> tuple[list, bool]:
     script = WORKER.format(repo=REPO)
     cores = n * 8 if mode == "executors" else n
     cmd = [sys.executable, "-c", script, mode, str(n), input_dir, str(reps), SCRATCH]
@@ -127,6 +160,8 @@ def _level_cmd(mode: str, n: int, input_dir: str, reps: int, pin: bool,
         cmd.append("narrow")
     if interleaved:
         cmd.append("interleaved")
+    if noop:
+        cmd.append("noop")
     # record whether THIS level actually got pinned — taskset may be
     # missing or the level may need more cores than the host has, and a
     # silently-unpinned level must not be reported as pinned
@@ -136,8 +171,8 @@ def _level_cmd(mode: str, n: int, input_dir: str, reps: int, pin: bool,
     return cmd, pinned
 
 
-def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True, narrow: bool = False) -> dict:
-    cmd, pinned = _level_cmd(mode, n, input_dir, reps, pin, narrow)
+def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True, narrow: bool = False, noop: bool = False) -> dict:
+    cmd, pinned = _level_cmd(mode, n, input_dir, reps, pin, narrow, noop=noop)
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, timeout=3600,
@@ -151,7 +186,7 @@ def run_level(mode: str, n: int, input_dir: str, reps: int, pin: bool = True, na
 
 
 def run_interleaved(mode: str, levels: list, input_dir: str, reps: int,
-                    pin: bool, narrow: bool) -> dict:
+                    pin: bool, narrow: bool, noop: bool = False) -> dict:
     """ABAB rep ordering: both level workers stay alive (only one executes
     at a time, driven over stdin), so an episodic host slowdown lands on
     reps of BOTH levels rather than silently poisoning whichever level ran
@@ -159,7 +194,7 @@ def run_interleaved(mode: str, levels: list, input_dir: str, reps: int,
     32-slower-than-8 artifacts."""
     procs, pinned = {}, {}
     for n in levels:
-        cmd, pn = _level_cmd(mode, n, input_dir, reps, pin, narrow, interleaved=True)
+        cmd, pn = _level_cmd(mode, n, input_dir, reps, pin, narrow, interleaved=True, noop=noop)
         # stderr to a file, not DEVNULL: a worker that dies mid-rep (one
         # did, silently, during a host-stall episode) must leave its
         # traceback somewhere findable
@@ -245,6 +280,12 @@ def main() -> None:
                          "payload — so this isolates how the PLAN scales from "
                          "how moving payload bytes through one DRAM domain "
                          "scales. n_tok (used by the histogram) is untouched.")
+    ap.add_argument("--noop", action="store_true",
+                    help="compute-only decomposition: full parse/enrich/route "
+                         "DAG with every routed row (payload included) "
+                         "materialized into Spark's built-in noop writer — "
+                         "engine scaling with the parquet-encode + tmpfs "
+                         "page-fault write substrate removed.")
     args = ap.parse_args()
 
     suffix = "_narrow" if args.narrow else ""
@@ -266,12 +307,14 @@ def main() -> None:
 
     if args.interleave:
         results = run_interleaved(args.mode, args.levels, input_dir, args.reps,
-                                  pin=not args.no_pin, narrow=args.narrow)
+                                  pin=not args.no_pin, narrow=args.narrow,
+                                  noop=args.noop)
     else:
         results = {}
         for n in args.levels:
             results[n] = run_level(args.mode, n, input_dir, args.reps,
-                                   pin=not args.no_pin, narrow=args.narrow)
+                                   pin=not args.no_pin, narrow=args.narrow,
+                                   noop=args.noop)
     for n in args.levels:
         r = results[n]
         r["median_sec"] = statistics.median(r["times"])
@@ -286,7 +329,7 @@ def main() -> None:
     print(f"speedup {speedup:.2f}x over {n4//n}x {args.mode} -> scaling efficiency {efficiency:.2f}")
     min_speedup = (args.rows / results[n4]["min_sec"]) / (args.rows / results[n]["min_sec"])
     print("RESULT_JSON " + json.dumps({"mode": args.mode, "rows": args.rows,
-                                       "narrow": args.narrow,
+                                       "narrow": args.narrow, "noop": args.noop,
                                        "interleaved": args.interleave,
                                        "min_based_efficiency": min_speedup / (n4 / n),
                                        "pinned": all(r["pinned"] for r in results.values()),
