@@ -69,21 +69,33 @@ def mixture_keep_fractions(token_totals: dict[str, int],
     }
 
 
+def source_token_totals(docs: DataFrame, source_col: str = "source",
+                        text_col: str = "text") -> dict[str, int]:
+    """Natural per-source token mass: ONE aggregate over the source dim,
+    driver-collected (bounded by #sources — a dim table, never the
+    corpus). Shared by :func:`mixture_sample` and
+    :func:`temperature_mixture_sample` so callers composing both pay the
+    corpus scan once."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    return {
+        r[source_col]: r["t"]
+        for r in docs.groupBy(source_col)
+        .agg(F.sum(toks).alias("t")).collect()
+    }
+
+
 def mixture_sample(docs: DataFrame, target: dict[str, float],
                    source_col: str = "source", text_col: str = "text",
-                   key: str = "doc_id", seed: int = 7) -> DataFrame:
+                   key: str = "doc_id", seed: int = 7,
+                   token_totals: dict[str, int] | None = None) -> DataFrame:
     """Downsample per source so sampled token mass matches ``target``
     proportions (sources absent from ``target`` drop). One aggregate over
-    the source dim (driver-collected, bounded by #sources) → broadcast
+    the source dim (driver-collected, bounded by #sources; pass
+    ``token_totals`` to reuse a measurement and skip the scan) → broadcast
     keep-fraction filter via the deterministic unit hash — single scan."""
-    with_tokens = docs.withColumn(
-        "_mix_tokens", F.size(F.split(F.col(text_col), " ")))
-    totals = {
-        r[source_col]: r["t"]
-        for r in with_tokens.groupBy(source_col)
-        .agg(F.sum("_mix_tokens").alias("t")).collect()
-        if r[source_col] in target
-    }
+    if token_totals is None:
+        token_totals = source_token_totals(docs, source_col, text_col)
+    totals = {s: t for s, t in token_totals.items() if s in target}
     fracs = mixture_keep_fractions(totals, {s: w for s, w in target.items()
                                             if s in totals})
     frac_col = None
@@ -95,10 +107,49 @@ def mixture_sample(docs: DataFrame, target: dict[str, float],
     if frac_col is None:
         return docs.limit(0)
     frac_col = frac_col.otherwise(F.lit(-1))  # sources outside target drop
-    return (
-        with_tokens.where(_unit_hash(key, seed) < frac_col)
-        .drop("_mix_tokens")
-    )
+    return docs.where(_unit_hash(key, seed) < frac_col)
+
+
+def temperature_weights(token_totals: dict[str, int],
+                        temperature: float = 0.3) -> dict[str, float]:
+    """Temperature-scaled mixture proportions (the multilingual-corpus
+    recipe of mT5 — Xue et al. 2021 §3.2 — and PaLM): p_s ∝ (T_s/ΣT)^α
+    with α = ``temperature``. α=1 reproduces natural proportions; α→0
+    approaches uniform — α<1 upweights low-resource sources relative to
+    their natural share. Pure function over the bounded source dim so
+    tests restate the math exactly."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    total = float(sum(token_totals.values()))
+    if total <= 0:
+        return {s: 0.0 for s in token_totals}
+    powered = {s: (t / total) ** temperature for s, t in token_totals.items()
+               if t > 0}
+    z = sum(powered.values())
+    out = {s: p / z for s, p in powered.items()}
+    out.update({s: 0.0 for s, t in token_totals.items() if t <= 0})
+    return out
+
+
+def temperature_mixture_sample(docs: DataFrame, temperature: float = 0.3,
+                               source_col: str = "source",
+                               text_col: str = "text",
+                               key: str = "doc_id",
+                               seed: int = 7) -> DataFrame:
+    """mT5-style temperature mixing without upsampling: measure natural
+    per-source token mass once, temper it with :func:`temperature_weights`,
+    and apply the same deterministic hash filter as :func:`mixture_sample`
+    (whose no-upsampling scaling makes the most-upweighted — lowest
+    natural share — source bind at keep=1.0, with every other source
+    thinned toward its tempered proportion). For upweighting PAST 1.0,
+    compose with :func:`upsample` (repeated-epochs recipe) instead.
+    Plan shape: one source-dim aggregate + one filtered scan — identical
+    to mixture_sample; the temperature math is driver-side over the
+    bounded dim."""
+    totals = source_token_totals(docs, source_col, text_col)
+    target = temperature_weights(totals, temperature)
+    return mixture_sample(docs, target, source_col, text_col, key, seed,
+                          token_totals=totals)
 
 
 def pack_offsets(

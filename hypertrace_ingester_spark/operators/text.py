@@ -367,3 +367,72 @@ def ngram_lm_perplexity(
         )
         .withColumn("ppl", F.exp(-F.col("sum_logp") / F.col("n_terms")))
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    by: tuple[str, ...] = ("lang",),
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): within
+    each ``by`` group (per language in CCNet), cut the corpus at the given
+    perplexity quantiles — LOWER perplexity = closer to the trusted LM =
+    ``head``. Adds ``ppl_bucket`` to ``scored`` (rows from
+    :func:`ngram_lm_perplexity`, or any frame carrying ``ppl_col``).
+
+    Cut points are a GROUP-grain aggregate (rows bounded by the group dim)
+    broadcast back onto the docs. ``exact=True`` selects order statistics
+    by rank (bit-stable across engines/partitionings — the oracle-parity
+    and small-SF default, at the cost of a per-group window sort);
+    ``exact=False`` uses the mergeable ``percentile_approx`` sketch — one
+    partial-agg shuffle and no sort, the 100 TB path (same trade as
+    datacard.corpus_datacard). A doc lands in the first bucket whose cut
+    its perplexity is <= ; ties go to the lower bucket, so the head stays
+    generous the way CCNet's paste-up does."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(f"need len(labels) == len(cuts)+1, got "
+                         f"{len(labels)} labels / {len(cuts)} cuts")
+    gcols = list(by) if by else []
+    gexprs = [F.col(c) for c in gcols] or [F.lit(1).alias("_pb_g")]
+    gnames = gcols or ["_pb_g"]
+    cut_names = [f"_pb_cut{i}" for i in range(len(cuts))]
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*gnames).orderBy(ppl_col)
+        ranked = (
+            scored.select(*gexprs, F.col(ppl_col))
+            .withColumn("_pb_rk", F.row_number().over(w))
+            .withColumn("_pb_n", F.count(F.lit(1)).over(
+                Window.partitionBy(*gnames)))
+        )
+        # order statistic at ceil(q*n): the value is deterministic even
+        # under ppl ties (rank selection picks the VALUE, not the row)
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("_pb_rk")
+                    == F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_pb_n"))),
+                    F.col(ppl_col),
+                )
+            ).alias(name)
+            for q, name in zip(cuts, cut_names)
+        ]
+        cut_rows = ranked.groupBy(*gnames).agg(*aggs)
+    else:
+        cut_rows = scored.select(*gexprs, F.col(ppl_col)).groupBy(*gnames).agg(
+            *[F.percentile_approx(ppl_col, q, 10_000).alias(name)
+              for q, name in zip(cuts, cut_names)]
+        )
+    base = scored if gcols else scored.withColumn("_pb_g", F.lit(1))
+    joined = base.join(F.broadcast(cut_rows), on=gnames, how="left")
+    bucket = None
+    for name, label in zip(cut_names, labels[:-1]):
+        cond = F.col(ppl_col) <= F.col(name)
+        bucket = F.when(cond, F.lit(label)) if bucket is None \
+            else bucket.when(cond, F.lit(label))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return joined.withColumn("ppl_bucket", bucket).drop(*cut_names, "_pb_g")

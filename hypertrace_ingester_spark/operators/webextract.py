@@ -209,6 +209,35 @@ def extract_links(df: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+def robots_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Meta-robots compliance flags: ``robots_noindex`` /
+    ``robots_nofollow`` booleans from ``<meta name="robots" ...>`` (both
+    attribute orders; ``none`` implies both, per the robots-meta spec).
+    Pages without the tag are False — indexable is the web default.
+    Responsible corpus builds honor noindex the way they honor
+    robots.txt (C4/CCNet build from Common Crawl, which already enforces
+    robots.txt at fetch time; the meta tag is the page-level opt-out that
+    survives into the archive and must be enforced at extraction).
+    Pure column regexps — fuses into the extraction scan, zero shuffle."""
+    html = F.col(html_col)
+    name_first = F.regexp_extract(
+        html,
+        r"""(?is)<meta\b[^>]*\bname\s*=\s*["']?robots\b[^>]*\bcontent\s*=\s*["']?([^"'>]*)""",
+        1,
+    )
+    content_first = F.regexp_extract(
+        html,
+        r"""(?is)<meta\b[^>]*\bcontent\s*=\s*["']?([^"'>]*)["'][^>]*\bname\s*=\s*["']?robots\b""",
+        1,
+    )
+    directives = F.lower(F.concat_ws(",", name_first, content_first))
+    return df.withColumn(
+        "robots_noindex", directives.rlike(r"(^|[,\s])(noindex|none)($|[,\s])")
+    ).withColumn(
+        "robots_nofollow", directives.rlike(r"(^|[,\s])(nofollow|none)($|[,\s])")
+    )
+
+
 def roundtrip_documents(docs: DataFrame, n_files: int = 32) -> DataFrame:
     """Reconstruct ``(doc_id, lang, text)`` from the documents table by way
     of the full crawl first mile: wrap each doc as an HTML page, wrap pages

@@ -155,6 +155,7 @@ def ingest_crawl(
     min_words: int = 1,
     max_link_density: float = 0.35,
     keep_links: bool = False,
+    honor_noindex: bool = True,
 ) -> DataFrame:
     """Crawl files → documents: the ingestion head that makes the curation
     plan start where a real corpus build starts (WARC bytes, not clean
@@ -183,6 +184,10 @@ def ingest_crawl(
         & (F.col("http_status") == 200)
         & F.col("http_content_type").startswith("text/html")
     )
+    if honor_noindex:  # page-level robots opt-out, enforced at extraction
+        parsed = wx.robots_meta(parsed, html_col="html").where(
+            ~F.col("robots_noindex")
+        )
     ex = wx.extract_text(
         parsed, min_words=min_words, max_link_density=max_link_density
     )

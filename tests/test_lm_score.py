@@ -91,3 +91,59 @@ def test_lm_perplexity_hand_case(spark):
     assert out[10]["n_terms"] == 4
     assert abs(out[10]["sum_logp"] - logp) < 1e-12
     assert abs(out[10]["ppl"] - math.exp(-logp / 4)) < 1e-12
+
+
+def _expected_buckets(ppls, cuts=(1.0 / 3.0, 2.0 / 3.0),
+                      labels=("head", "middle", "tail")):
+    """Pure-python restatement of the rank-selection cut rule."""
+    s = sorted(ppls)
+    n = len(s)
+    cut_vals = [s[max(1, math.ceil(q * n)) - 1] for q in cuts]
+
+    def bucket(p):
+        for cv, lb in zip(cut_vals, labels[:-1]):
+            if p <= cv:
+                return lb
+        return labels[-1]
+
+    return bucket
+
+
+def test_perplexity_buckets_exact_matches_rank_rule(spark):
+    """CCNet head/middle/tail: per-language exact cuts agree row-by-row
+    with a driver-side sort of the same perplexities."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    scored = docs.select("doc_id", "lang").join(
+        text.ngram_lm_perplexity(docs), "doc_id"
+    )
+    out = text.perplexity_buckets(scored, by=("lang",)).toPandas()
+    assert len(out) == scored.count()
+    for lang, g in out.groupby("lang"):
+        bucket = _expected_buckets(g["ppl"].tolist())
+        for _, r in g.iterrows():
+            assert r["ppl_bucket"] == bucket(r["ppl"]), (lang, r["doc_id"])
+        # ordering invariant: head <= middle <= tail by construction
+        by_b = {b: sub["ppl"] for b, sub in g.groupby("ppl_bucket")}
+        if "head" in by_b and "middle" in by_b:
+            assert by_b["head"].max() <= by_b["middle"].min()
+        if "middle" in by_b and "tail" in by_b:
+            assert by_b["middle"].max() <= by_b["tail"].min()
+
+
+def test_perplexity_buckets_approx_and_global(spark):
+    """The percentile_approx (100 TB) path preserves the ordering
+    invariant and ~third-sized buckets; by=() buckets globally."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    scored = docs.select("doc_id").join(text.ngram_lm_perplexity(docs), "doc_id")
+    out = text.perplexity_buckets(scored, by=(), exact=False).toPandas()
+    n = len(out)
+    counts = out["ppl_bucket"].value_counts()
+    assert set(counts.index) == {"head", "middle", "tail"}
+    for b in ("head", "middle", "tail"):
+        assert abs(counts[b] - n / 3) <= 0.1 * n, counts
+    by_b = {b: g["ppl"] for b, g in out.groupby("ppl_bucket")}
+    assert by_b["head"].max() <= by_b["middle"].min()
+    assert by_b["middle"].max() <= by_b["tail"].min()
+    # label/cut arity guarded
+    with pytest.raises(ValueError):
+        text.perplexity_buckets(scored, cuts=(0.5,), labels=("a", "b", "c"))

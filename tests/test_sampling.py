@@ -89,3 +89,51 @@ def test_cluster_balanced_sample(spark):
     out2 = sampling.cluster_balanced_sample(docs, emb, n_clusters=4)
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
            sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+
+
+def test_temperature_weights_math():
+    totals = {"web": 8100, "code": 900}  # natural shares 0.9 / 0.1
+    w = smp.temperature_weights(totals, 0.5)
+    p_web, p_code = 0.9 ** 0.5, 0.1 ** 0.5
+    z = p_web + p_code
+    assert w["web"] == pytest.approx(p_web / z)
+    assert w["code"] == pytest.approx(p_code / z)
+    # alpha=1 reproduces natural proportions exactly
+    w1 = smp.temperature_weights(totals, 1.0)
+    assert w1["web"] == pytest.approx(0.9)
+    assert w1["code"] == pytest.approx(0.1)
+    # alpha -> 0 approaches uniform
+    w0 = smp.temperature_weights(totals, 1e-9)
+    assert w0["web"] == pytest.approx(0.5, abs=1e-6)
+    # zero-mass sources get 0, never NaN; alpha <= 0 rejected
+    assert smp.temperature_weights({"a": 0, "b": 100}, 0.3)["a"] == 0.0
+    with pytest.raises(ValueError):
+        smp.temperature_weights(totals, 0.0)
+
+
+def test_temperature_mixture_alpha1_keeps_everything(spark):
+    """alpha=1 -> target == natural proportions -> every source binds at
+    keep fraction 1.0: the sample IS the corpus (the invariant that makes
+    temperature mixing a strict generalization of no mixing)."""
+    docs = _docs(spark, 3000)
+    out = smp.temperature_mixture_sample(docs, temperature=1.0)
+    assert out.count() == docs.count()
+
+
+def test_temperature_mixture_upweights_low_resource(spark):
+    # 90% web / 10% code by token mass (uniform doc length)
+    rows = [(i, "code" if i % 10 == 0 else "web",
+             " ".join(f"w{j}" for j in range(10))) for i in range(8000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    alpha = 0.3
+    out = smp.temperature_mixture_sample(docs, temperature=alpha)
+    toks = {r["source"]: r["t"] for r in out
+            .withColumn("nt", F.size(F.split(F.col("text"), " ")))
+            .groupBy("source").agg(F.sum("nt").alias("t")).collect()}
+    share_code = toks["code"] / (toks["code"] + toks["web"])
+    expect = 0.1 ** alpha / (0.1 ** alpha + 0.9 ** alpha)  # ~0.341
+    assert share_code == pytest.approx(expect, abs=0.03)
+    # code is the most-upweighted source -> binds -> kept whole
+    assert out.where("source = 'code'").count() == 800
+    # and the achieved share moved from the natural 0.1 toward uniform
+    assert share_code > 0.25

@@ -250,3 +250,59 @@ def test_ingest_crawl_to_curation(spark, tmp_path):
     assert set(curated.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test"
     }
+
+
+ROBOTS_CASES = [
+    # (html, noindex, nofollow)
+    ('<html><head><meta name="robots" content="noindex, nofollow"></head>'
+     "<body>x</body></html>", True, True),
+    ('<html><head><meta content="NOINDEX" name="robots"></head>'
+     "<body>x</body></html>", True, False),          # reversed attr order
+    ('<html><head><meta name="ROBOTS" content="none"></head>'
+     "<body>x</body></html>", True, True),           # none = both, any case
+    ('<html><head><meta name=robots content=nofollow></head>'
+     "<body>x</body></html>", False, True),          # unquoted attrs
+    ('<html><head><meta name="robots" content="index, follow"></head>'
+     "<body>x</body></html>", False, False),         # explicit allow
+    ('<html><head><meta name="googlebot" content="noindex"></head>'
+     "<body>x</body></html>", False, False),         # other-bot tag ignored
+    ("<html><body>no meta at all</body></html>", False, False),
+]
+
+
+def test_robots_meta_flags(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(ROBOTS_CASES)],
+        "id long, html string",
+    )
+    got = {r["id"]: r for r in wx.robots_meta(df).collect()}
+    for i, (_, want_ni, want_nf) in enumerate(ROBOTS_CASES):
+        assert got[i]["robots_noindex"] == want_ni, ROBOTS_CASES[i][0]
+        assert got[i]["robots_nofollow"] == want_nf, ROBOTS_CASES[i][0]
+
+
+def test_ingest_crawl_honors_noindex(spark):
+    """A page opting out via meta robots never enters the corpus (the
+    page-level complement of crawl-time robots.txt); honor_noindex=False
+    keeps it, for archival/audit reads."""
+    from hypertrace_ingester_spark.plans.curation import ingest_crawl
+
+    body = "<p>" + "real words " * 30 + "</p>"
+    pages = [
+        (0, '<html lang="en"><head><title>ok</title></head><body>'
+            + body + "</body></html>"),
+        (1, '<html lang="en"><head><title>optout</title>'
+            '<meta name="robots" content="noindex"></head><body>'
+            + body + "</body></html>"),
+    ]
+    df = spark.createDataFrame(pages, "page_id long, html string")
+    uri = F.concat(F.lit("https://site.org/p/"), F.col("page_id").cast("string"))
+    recs = df.select(
+        "page_id",
+        warc.wrap_record(F.col("page_id"), F.col("html"), uri=uri).alias("record"),
+    )
+    payload = warc.group_warc_files(recs, id_col="page_id", n_files=1)
+    kept = ingest_crawl(spark, payloads=payload)
+    assert [r["title"] for r in kept.collect()] == ["ok"]
+    both = ingest_crawl(spark, payloads=payload, honor_noindex=False)
+    assert sorted(r["title"] for r in both.collect()) == ["ok", "optout"]
