@@ -6,7 +6,9 @@ counterpart of plans/pipeline.py's span topology):
     → profile (ONE fused text scan) → quality + Gopher filter → PII redaction
     → exact dedup → MinHash near-dup clustering → canonical keep
     → [opt-in exact-substring dedup at word-token grain]
-    → benchmark decontamination → mixture sampling → train/val/test split
+    → [opt-in CCNet perplexity gate (head/middle/tail per language)]
+    → benchmark decontamination → mixture sampling (explicit targets or
+      mT5 temperature-scaled) → train/val/test split
     → sequence packing (train split)
 
 Every stage is the already-verified operator (COVERAGE.md maps each to its
@@ -98,7 +100,17 @@ class CurationConfig:
     # train docs gain bpe_tokens, and packing runs on real subword counts
     # instead of whitespace word counts.
     bpe_merges: int | None = None
+    # opt-in CCNet perplexity gate (Wenzek et al. 2020 §4.3): bigram-LM
+    # perplexity against a trusted corpus (run_curation's ``lm_docs``;
+    # self-trained on the deduped survivors when absent), docs cut into
+    # head/middle/tail per language, only these buckets survive. Runs
+    # AFTER dedup — CCNet's own order: never spend LM scoring on rows
+    # dedup was about to drop. e.g. ("head", "middle").
+    ccnet_buckets: tuple[str, ...] | None = None
+    # EXACTLY ONE of: explicit target proportions, or mT5-style
+    # temperature-scaled natural proportions (sampling.temperature_weights)
     mixture: dict[str, float] | None = None
+    mixture_temperature: float | None = None
     split_weights: dict[str, float] | None = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
     )
@@ -214,6 +226,7 @@ def run_curation(
     eval_docs: DataFrame | None = None,
     config: CurationConfig | None = None,
     resume: bool = False,
+    lm_docs: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation pipeline; returns ``(curated, manifest)`` where
     ``curated`` carries ``doc_id, source, text, n_tokens, split`` plus
@@ -251,7 +264,8 @@ def run_curation(
             manifest["stages"].update(state["stages"])
             manifest["resumed_from"] = dedup_ckpt
             return _curation_tail(
-                spark, deduped, eval_docs, cfg, manifest, record, t0
+                spark, deduped, eval_docs, cfg, manifest, record, t0,
+                lm_docs=lm_docs,
             )
 
     base_cols = [c for c in ("doc_id", "source", "lang") if c in docs.columns]
@@ -386,7 +400,8 @@ def run_curation(
         deduped = spark.read.parquet(dedup_ckpt)
         manifest["checkpointed_to"] = dedup_ckpt
 
-    return _curation_tail(spark, deduped, eval_docs, cfg, manifest, record, t0)
+    return _curation_tail(spark, deduped, eval_docs, cfg, manifest, record,
+                          t0, lm_docs=lm_docs)
 
 
 def _curation_tail(
@@ -397,6 +412,7 @@ def _curation_tail(
     manifest: dict,
     record,
     t0: float,
+    lm_docs: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Stages after the dedup checkpoint boundary: [corpus-index probe] →
     decontaminate → mixture → split → (BPE) → pack → [index append].
@@ -411,6 +427,27 @@ def _curation_tail(
         manifest["corpus_dedup"] = inc_man
         record("corpus_dedup", deduped)
 
+    # 3d) opt-in CCNet perplexity gate: score with the bigram LM (trusted
+    # corpus when given, self-trained otherwise), cut head/middle/tail per
+    # language (exact rank cuts — the oracle-parity path; flip to the
+    # percentile_approx sketch at real scale via text.perplexity_buckets'
+    # exact flag), keep only the configured buckets
+    if cfg.ccnet_buckets:
+        model = tx.train_bigram_lm(
+            lm_docs if lm_docs is not None else deduped)
+        scored = deduped.join(
+            tx.ngram_lm_perplexity(deduped, model=model).select(
+                "doc_id", "ppl"),
+            "doc_id",
+        )
+        by = ("lang",) if "lang" in deduped.columns else ()
+        deduped = (
+            tx.perplexity_buckets(scored, by=by)
+            .where(F.col("ppl_bucket").isin(*cfg.ccnet_buckets))
+            .drop("ppl", "ppl_bucket")
+        )
+        record("ccnet_gate", deduped)
+
     # 4) benchmark decontamination
     if eval_docs is not None:
         flagged = dd.decontaminate(deduped, eval_docs, k=cfg.decontaminate_k)
@@ -421,12 +458,17 @@ def _curation_tail(
         clean = deduped
     record("decontaminated", clean)
 
-    # 5) mixture sampling (token-budgeted per-source proportions)
-    mixed = (
-        sp.mixture_sample(clean, cfg.mixture, seed=cfg.seed + 7)
-        if cfg.mixture
-        else clean
-    )
+    # 5) mixture sampling — explicit target proportions, or mT5
+    # temperature-scaled natural proportions (both token-budgeted)
+    if cfg.mixture and cfg.mixture_temperature is not None:
+        raise ValueError("set mixture OR mixture_temperature, not both")
+    if cfg.mixture:
+        mixed = sp.mixture_sample(clean, cfg.mixture, seed=cfg.seed + 7)
+    elif cfg.mixture_temperature is not None:
+        mixed = sp.temperature_mixture_sample(
+            clean, cfg.mixture_temperature, seed=cfg.seed + 7)
+    else:
+        mixed = clean
     mixed = _tokens(mixed.drop("n_tokens"))
     record("mixed", mixed)
 

@@ -321,3 +321,47 @@ def test_metrics_and_datacard_artifacts(spark, tmp_path):
     assert "curation_run_seconds" in text
     saved = _json.load(open(os.path.join(md, "_curation_run.json")))
     assert saved["stages"]["input"]["rows"] == man["stages"]["input"]["rows"]
+
+
+def test_ccnet_gate_and_temperature_mixture(spark):
+    """CCNet perplexity gate drops the per-language tail bucket; mixture
+    by temperature hits the tempered proportions without an explicit
+    target dict. Both verified against their operators' own laws."""
+    from hypertrace_ingester_spark.operators import sampling as smp
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    cfg = CurationConfig(
+        quality_filter=False, gopher_filter=False, redact_pii=False,
+        near_dup=False, ccnet_buckets=("head", "middle"),
+        mixture_temperature=0.5,
+    )
+    out, manifest = run_curation(spark, docs, config=cfg)
+    s = manifest["stages"]
+    # the gate runs after dedup and keeps ~2/3 per language
+    assert "ccnet_gate" in s
+    n_in, n_gate = s["exact_dedup"]["rows"], s["ccnet_gate"]["rows"]
+    assert 0.6 * n_in <= n_gate <= 0.72 * n_in, (n_in, n_gate)
+    # temperature mixing ran: achieved source shares match the tempered
+    # weights of the gate-surviving corpus within hash quantization noise
+    gated_totals = {}
+    full = run_curation(
+        spark, docs,
+        config=CurationConfig(
+            quality_filter=False, gopher_filter=False, redact_pii=False,
+            near_dup=False, ccnet_buckets=("head", "middle"),
+        ),
+    )[0]
+    # mixture input == the decontaminated frame == gate output here
+    pre = full.groupBy("source").agg(
+        F.sum("n_tokens").alias("t")).collect()
+    gated_totals = {r["source"]: r["t"] for r in pre}
+    want = smp.temperature_weights(gated_totals, 0.5)
+    got_tot = {r["source"]: r["t"] for r in out.groupBy("source").agg(
+        F.sum("n_tokens").alias("t")).collect()}
+    tot = sum(got_tot.values())
+    for src, w in want.items():
+        assert got_tot[src] / tot == pytest.approx(w, abs=0.05), (src, w)
+    # exclusivity guard
+    with pytest.raises(ValueError):
+        run_curation(spark, docs, config=CurationConfig(
+            mixture={"web": 1.0}, mixture_temperature=0.3))
