@@ -613,11 +613,109 @@ def token_grams(
     )
 
 
+#: Rabin-Karp parameters: an ODD multiplier is a unit mod 2^64, so its
+#: modular inverse exists and windows normalize exactly (no division).
+_RK_BASE = 0x9E3779B97F4A7C15  # odd (golden-ratio constant)
+_RK_MIX = 0xBF58476D1CE4E5B9   # odd per-token scrambler (splitmix64 step)
+
+
+def _rk_hashes(tokens, length: int):
+    """All ``length``-window Rabin-Karp hashes of one token array, O(n)
+    vectorized (uint64 wraparound arithmetic — numpy's native overflow IS
+    the mod 2^64). Pure numpy so tests can pin the window law without a
+    JVM.
+
+    Law: with mixed tokens m[j] = (t[j]+j_const)*MIX ^ shift, prefix
+    P(k) = Σ_{j<k} m[j]·B^j, the window hash is
+    H(i) = (P(i+L) − P(i)) · B^{-i} = Σ_{j<L} m[i+j]·B^j — i.e. every
+    window is hashed in the SAME basis, so equal windows hash equal
+    regardless of position. B odd ⇒ B^{-1} exists mod 2^64."""
+    import numpy as np
+
+    t = np.asarray(tokens, dtype=np.uint64)
+    n = t.size
+    if n < length:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        m = (t + np.uint64(_RK_BASE)) * np.uint64(_RK_MIX)
+        m ^= m >> np.uint64(31)
+        # B^j and B^{-j} ladders (cumprod wraps mod 2^64)
+        base = np.uint64(_RK_BASE | 1)
+        binv = np.uint64(pow(int(base), -1, 1 << 64))
+        pows = np.ones(n + 1, dtype=np.uint64)
+        np.cumprod(np.full(n, base, dtype=np.uint64), out=pows[1:])
+        invs = np.ones(n - length + 1, dtype=np.uint64)
+        if n - length >= 1:
+            np.cumprod(
+                np.full(n - length, binv, dtype=np.uint64), out=invs[1:]
+            )
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(m * pows[:n], out=prefix[1:])
+        h = (prefix[length:] - prefix[: n - length + 1]) * invs
+    return h.view(np.int64)
+
+
+def token_grams_rolling(
+    seqs: DataFrame,
+    length: int,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """O(n) Arrow-side Rabin-Karp gram stream — the documented alternative
+    to :func:`token_grams`' O(n·L) JVM slice hashing (BENCH/BASELINE.md,
+    ExactSubstr scaling note: at L=50 the slice hash does 50× per-token
+    work; the rolling form does ~6 vector ops per token regardless of L).
+
+    Same ``(id, pos, gh)`` shape and semantics; hash VALUES differ from
+    the xxhash64 stream — everything downstream is hash-agnostic (only
+    gram equality matters), so :func:`duplicated_span_marks` /
+    :func:`substring_dedup` accept either stream. Collision budget is the
+    standard Rabin-Karp mod-2^64 story (one innocent window per ~4B
+    distinct grams, same order as xxhash64's birthday bound)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            seqs.schema[id_col],
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("gh", T.LongType(), False),
+        ]
+    )
+
+    def _stream(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, ghs = [], [], []
+            for did, toks in zip(pdf[id_col], pdf[tok_col]):
+                h = _rk_hashes(toks, length)
+                if h.size == 0:
+                    continue
+                ids.append(np.full(h.size, did, dtype=object))
+                poss.append(np.arange(h.size, dtype=np.int32))
+                ghs.append(h)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "gh": np.concatenate(ghs),
+                }
+            )
+
+    return widen(seqs.select(id_col, tok_col)).mapInPandas(
+        _stream, schema=out_schema
+    )
+
+
 def duplicated_span_marks(
     seqs: DataFrame,
     length: int,
     id_col: str = "doc_id",
     tok_col: str = "tokens",
+    rolling: bool = False,
 ) -> DataFrame:
     """``(id, pos)`` of every NON-FIRST occurrence of a duplicated
     ``length``-token gram, corpus-wide, ordered by ``(doc_id, pos)``.
@@ -631,8 +729,13 @@ def duplicated_span_marks(
     fraction of the stream) come back as the join side, so the mark join
     is gram-stream ⋈ narrow-duplicate-dim; AQE's skew-join handles the
     billion-copy gram whose marks are inherently that many rows.
+
+    ``rolling=True`` swaps the gram stream for the O(n) Arrow-side
+    Rabin-Karp form (:func:`token_grams_rolling`) — identical marks up to
+    hash collisions, cheaper when L is large.
     """
-    grams = token_grams(seqs, length, id_col, tok_col)
+    gram_fn = token_grams_rolling if rolling else token_grams
+    grams = gram_fn(seqs, length, id_col, tok_col)
     dup_firsts = (
         grams.groupBy("gh")
         .agg(
@@ -659,6 +762,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     tok_col: str = "tokens",
     n_col: str | None = "n_tok",
+    rolling: bool = False,
 ) -> DataFrame:
     """Corpus-wide exact-substring dedup over the token payload — the
     ExactSubstr recipe of Lee et al. 2021 ("Deduplicating Training Data
@@ -690,7 +794,7 @@ def substring_dedup(
     from pyspark.sql import types as T
 
     marks = (
-        duplicated_span_marks(seqs, length, id_col, tok_col)
+        duplicated_span_marks(seqs, length, id_col, tok_col, rolling=rolling)
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("_marks"))
     )

@@ -136,3 +136,62 @@ def test_short_docs_pass_through(spark):
     out = dedup.substring_dedup(short, length=L).toPandas()
     assert (out["n_tok_dropped"] == 0).all()
     assert (out["n_tok"] == 8 + out["doc_id"] * 7 % 60).all()
+
+
+def test_rolling_hash_window_law():
+    """Pure-numpy law test of the O(n) Rabin-Karp stream: every window
+    hash equals the direct basis evaluation Σ m[i+j]·B^j, and equal
+    windows hash equal at ANY position (the property the gram grouping
+    relies on). No JVM needed."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    toks = rng.integers(0, 50021, size=300).astype(np.int64)
+    # plant a repeated 60-token run at two positions
+    toks[200:260] = toks[40:100]
+    L = 50
+    h = dedup._rk_hashes(toks, L)
+    assert h.size == 300 - L + 1
+    base = np.uint64(dedup._RK_BASE | 1)
+    with np.errstate(over="ignore"):
+        m = (toks.astype(np.uint64) + np.uint64(dedup._RK_BASE)) * np.uint64(
+            dedup._RK_MIX
+        )
+        m ^= m >> np.uint64(31)
+        pows = np.ones(L, dtype=np.uint64)
+        np.cumprod(np.full(L - 1, base, dtype=np.uint64), out=pows[1:])
+        for i in (0, 1, 40, 137, 200, 300 - L):
+            direct = np.uint64(0)
+            direct = (m[i : i + L] * pows).sum(dtype=np.uint64)
+            assert h[i] == direct.view(np.int64).item(), i
+    # the planted repeat: windows fully inside [40,100) == [200,260)
+    for off in range(60 - L + 1):
+        assert h[40 + off] == h[200 + off]
+    # and a non-repeat window collides with nothing else in this stream
+    assert (h == h[0]).sum() == 1
+    # short-doc edge
+    assert dedup._rk_hashes(toks[: L - 1], L).size == 0
+
+
+def test_rolling_stream_agrees_with_slice_stream(spark):
+    """The Rabin-Karp gram stream yields the IDENTICAL final dedup output
+    as the xxhash64 slice stream on the oracle corpus (hash-agnostic
+    downstream, zero collisions at this scale by the quadratic law)."""
+    a = (
+        dedup.substring_dedup(_seqs(spark), length=L)
+        .select("doc_id", "tokens", "n_tok_dropped")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup.substring_dedup(_seqs(spark), length=L, rolling=True)
+        .select("doc_id", "tokens", "n_tok_dropped")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["n_tok_dropped"].tolist() == b["n_tok_dropped"].tolist()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert list(x) == list(y)
