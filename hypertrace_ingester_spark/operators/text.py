@@ -391,7 +391,12 @@ def perplexity_buckets(
     partial-agg shuffle and no sort, the 100 TB path (same trade as
     datacard.corpus_datacard). A doc lands in the first bucket whose cut
     its perplexity is <= ; ties go to the lower bucket, so the head stays
-    generous the way CCNet's paste-up does."""
+    generous the way CCNet's paste-up does.
+
+    ``scored`` is referenced TWICE (the cut aggregate and the output
+    join) — at scale, persist/localCheckpoint the expensive part of its
+    lineage first (the curation plan's ccnet stage checkpoints the narrow
+    ``(doc_id, ppl)`` frame so LM scoring runs once)."""
     if len(labels) != len(cuts) + 1:
         raise ValueError(f"need len(labels) == len(cuts)+1, got "
                          f"{len(labels)} labels / {len(cuts)} cuts")

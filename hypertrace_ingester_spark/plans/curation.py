@@ -435,11 +435,16 @@ def _curation_tail(
     if cfg.ccnet_buckets:
         model = tx.train_bigram_lm(
             lm_docs if lm_docs is not None else deduped)
-        scored = deduped.join(
-            tx.ngram_lm_perplexity(deduped, model=model).select(
-                "doc_id", "ppl"),
-            "doc_id",
+        # pin the NARROW (doc_id, ppl) frame: perplexity_buckets references
+        # its input twice (cut aggregate + output join) and the LM scoring
+        # subtree is the expensive lineage — the lsh_signatures recompute
+        # lesson (round-3 ADVICE) applied here
+        ppl = (
+            tx.ngram_lm_perplexity(deduped, model=model)
+            .select("doc_id", "ppl")
+            .localCheckpoint()
         )
+        scored = deduped.join(ppl, "doc_id")
         by = ("lang",) if "lang" in deduped.columns else ()
         deduped = (
             tx.perplexity_buckets(scored, by=by)
