@@ -56,7 +56,7 @@ def load_documents_jsonl(
     if schema is None:
         schema = DOCUMENTS_DDL
     if isinstance(schema, str):
-        schema = T._parse_datatype_string(schema)
+        schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL not in schema.fieldNames():
         schema = T.StructType(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
