@@ -260,6 +260,70 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("doc_fp", F.md5(normalized))
 
 
+# C0/C1 control chars except \t \n \r, plus zero-width chars and BOM —
+# the bytes a crawl drags in that tokenizers choke on. JVM-expressible.
+CONTROL_CHARS_RE = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+    "\\u200b-\\u200d\\u2060\\ufeff]"
+)
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_controls: bool = True,
+) -> DataFrame:
+    """Unicode normalization + control-char scrub — the corpus first-mile
+    cleanup every public recipe runs before anything tokenizes (CCNet
+    normalizes unicode before LM scoring; OSCAR/C4 strip control bytes):
+    replaces ``text_col`` with its ``form``-normalized (NFC default) text,
+    control/zero-width/BOM chars removed, and appends ``was_normalized``
+    (True where any byte changed — the audit column).
+
+    Plan shape: the control strip is a JVM ``regexp_replace`` (codegen);
+    the normalization itself has no Spark builtin, so it is ONE
+    Arrow-batched pass (``unicodedata.normalize`` over each batch) —
+    map-only, zero shuffle, and the dominant cost is the same
+    payload-through-Arrow traffic as any mapInPandas stage. Docs already
+    in ``form`` (the overwhelming majority of real text) round-trip
+    byte-identically, so the op is idempotent. DuckDB's ``nfc_normalize``
+    restates the NFC form for the oracle tests."""
+    from pyspark.sql import types as T
+
+    pre = (
+        F.regexp_replace(F.col(text_col), CONTROL_CHARS_RE, "")
+        if strip_controls
+        else F.col(text_col)
+    )
+    staged = docs.withColumn("_nt_orig", F.col(text_col)).withColumn(
+        text_col, pre
+    )
+    fields = list(staged.schema.fields)
+    out_schema = T.StructType(
+        [f for f in fields if f.name != "_nt_orig"]
+        + [T.StructField("was_normalized", T.BooleanType(), False)]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def _norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            orig = pdf.pop("_nt_orig")
+            pdf[text_col] = [
+                unicodedata.normalize(form, t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            pdf["was_normalized"] = [
+                (t or "") != (o or "")
+                for t, o in zip(pdf[text_col], orig)
+            ]
+            yield pdf[names]
+
+    return staged.mapInPandas(_norm, schema=out_schema)
+
+
 def _bigram_structs(text_col: str) -> Column:
     """Adjacent word pairs as struct<w_prev, w>, built map-side from the
     words array (no self-join, no window)."""

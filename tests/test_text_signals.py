@@ -106,3 +106,36 @@ def test_pii_scrub_counts_and_redaction(spark):
 
     assert rows[5]["pii_free"] is True
     assert rows[5]["text_redacted"] == "no personal data here"
+
+
+def test_normalize_text_nfc_oracle(spark):
+    """Unicode first-mile cleanup: NFC composition + control/zero-width/BOM
+    strip, verified against DuckDB's nfc_normalize on the same rows, plus
+    idempotence (already-clean text round-trips byte-identically)."""
+    import duckdb
+
+    rows = [
+        (0, "café con leche"),            # NFD -> NFC composes
+        (1, "plain ascii"),                      # untouched
+        (2, "bad\x00byte\x1fhere​gone!"),   # controls + zero-width out
+        (3, "﻿bom lead"),                   # BOM stripped
+        (4, "ümlaut already NFC"),
+        (5, "tab\tand\nnewline kept"),           # \t \n survive
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = txt.normalize_text(docs)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    con = duckdb.connect()
+    for i, raw in rows:
+        want = con.execute(
+            r"""SELECT nfc_normalize(regexp_replace(?,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f'
+                || '​-‍⁠﻿]', '', 'g'))""",
+            [raw],
+        ).fetchone()[0]
+        assert got[i]["text"] == want, (i, raw)
+        assert got[i]["was_normalized"] == (want != raw), i
+    # idempotent: a second pass changes nothing
+    again = txt.normalize_text(out.drop("was_normalized"))
+    assert not [r for r in again.collect() if r["was_normalized"]]
