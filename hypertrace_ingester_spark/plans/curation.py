@@ -71,6 +71,11 @@ class CurationConfig:
     # table is single-line word soup with no sentence punctuation, which
     # c4_keep would drop wholesale).
     c4_clean: bool = False
+    # opt-in Unicode first-mile cleanup (text.normalize_text): NFC +
+    # control/zero-width/BOM strip, BEFORE anything reads the text —
+    # hashes, shingles and LM grams must see the composed form or two
+    # byte-different spellings of one string dedup as distinct docs
+    unicode_normalize: bool = False
     # page-level word blocklist for the C4 stage (the published recipe's
     # LDNOOBW filter; the list itself is caller-supplied data)
     c4_badwords: list[str] | None = None
@@ -196,10 +201,10 @@ def ingest_crawl(
         & (F.col("http_status") == 200)
         & F.col("http_content_type").startswith("text/html")
     )
+    if honor_noindex or keep_links:
+        parsed = wx.robots_meta(parsed, html_col="html")
     if honor_noindex:  # page-level robots opt-out, enforced at extraction
-        parsed = wx.robots_meta(parsed, html_col="html").where(
-            ~F.col("robots_noindex")
-        )
+        parsed = parsed.where(~F.col("robots_noindex"))
     ex = wx.extract_text(
         parsed, min_words=min_words, max_link_density=max_link_density
     )
@@ -216,7 +221,17 @@ def ingest_crawl(
     ]
     if keep_links:  # outlinks feed the domain-rank stage / crawl frontier
         ex = wx.extract_links(ex, html_col="html")
-        cols.append(F.col("links"))
+        # robots nofollow = the page's links carry no endorsement: the
+        # page itself stays in the corpus, but it contributes no edges to
+        # the link graph / frontier (the PageRank-era convention)
+        cols.append(
+            F.when(
+                F.col("robots_nofollow"),
+                F.array().cast("array<string>"),
+            )
+            .otherwise(F.col("links"))
+            .alias("links")
+        )
     return ex.select(*cols).where(F.col("text") != "")
 
 
@@ -318,6 +333,12 @@ def run_curation(
 
     # 0) opt-in C4 line cleaning — another map-only stage ahead of the
     # profile scan, so every later stage sees the cleaned, smaller text
+    # 0c) opt-in Unicode cleanup — before any stage hashes or grams the
+    # text (NFD/NFC spellings of one string must dedup as one doc)
+    if cfg.unicode_normalize:
+        docs = tx.normalize_text(docs).drop("was_normalized")
+        record("normalized", _tokens(docs))
+
     if cfg.c4_clean:
         sig = tx.c4_line_signals(docs, badwords=cfg.c4_badwords)
         docs = sig.where(F.col("c4_keep")).select(

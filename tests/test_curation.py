@@ -365,3 +365,25 @@ def test_ccnet_gate_and_temperature_mixture(spark):
     with pytest.raises(ValueError):
         run_curation(spark, docs, config=CurationConfig(
             mixture={"web": 1.0}, mixture_temperature=0.3))
+
+
+def test_unicode_normalize_stage_collapses_nfd_twins(spark):
+    """With unicode_normalize on, byte-different NFD/NFC spellings of the
+    same string exact-dedup to one doc; off, they survive as two."""
+    nfc = "café con leche " * 5
+    nfd = "café con leche " * 5
+    rows = [(0, nfc, "en", "web"), (1, nfd, "en", "web"),
+            (2, "an unrelated document body here", "en", "web")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    base = dict(quality_filter=False, gopher_filter=False, redact_pii=False,
+                near_dup=False, decontaminate_k=13)
+    out_off, man_off = run_curation(spark, docs, config=CurationConfig(**base))
+    out_on, man_on = run_curation(
+        spark, docs, config=CurationConfig(unicode_normalize=True, **base))
+    assert man_off["stages"]["exact_dedup"]["rows"] == 3
+    assert "normalized" in man_on["stages"]
+    assert man_on["stages"]["exact_dedup"]["rows"] == 2
+    # the survivor is the min doc_id and its text is the COMPOSED form
+    kept = {r["doc_id"]: r["text"] for r in out_on.collect()}
+    assert 0 in kept and 1 not in kept
+    assert kept[0] == nfc

@@ -306,3 +306,34 @@ def test_ingest_crawl_honors_noindex(spark):
     assert [r["title"] for r in kept.collect()] == ["ok"]
     both = ingest_crawl(spark, payloads=payload, honor_noindex=False)
     assert sorted(r["title"] for r in both.collect()) == ["ok", "optout"]
+
+
+def test_ingest_crawl_nofollow_drops_links_not_page(spark):
+    """robots nofollow: the page stays in the corpus but contributes no
+    outlinks to the frontier/link graph; a plain page's links survive."""
+    from hypertrace_ingester_spark.plans.curation import ingest_crawl
+
+    body = (
+        '<a href="https://other.org/x">out</a><p>'
+        + "real words " * 30
+        + "</p>"
+    )
+    pages = [
+        (0, '<html lang="en"><head><title>linky</title></head><body>'
+            + body + "</body></html>"),
+        (1, '<html lang="en"><head><title>nf</title>'
+            '<meta name="robots" content="nofollow"></head><body>'
+            + body + "</body></html>"),
+    ]
+    df = spark.createDataFrame(pages, "page_id long, html string")
+    uri = F.concat(F.lit("https://site.org/p/"), F.col("page_id").cast("string"))
+    recs = df.select(
+        "page_id",
+        warc.wrap_record(F.col("page_id"), F.col("html"), uri=uri).alias("record"),
+    )
+    payload = warc.group_warc_files(recs, id_col="page_id", n_files=1)
+    out = {r["title"]: r for r in
+           ingest_crawl(spark, payloads=payload, keep_links=True).collect()}
+    assert set(out) == {"linky", "nf"}          # both pages kept
+    assert out["linky"]["links"] == ["https://other.org/x"]
+    assert out["nf"]["links"] == []             # endorsement withheld
