@@ -195,3 +195,53 @@ def test_rolling_stream_agrees_with_slice_stream(spark):
     assert a["n_tok_dropped"].tolist() == b["n_tok_dropped"].tolist()
     for x, y in zip(a["tokens"], b["tokens"]):
         assert list(x) == list(y)
+
+
+def test_rolling_hash_property():
+    """Property form of the window law: for random token arrays and gram
+    lengths, (a) every window hash equals the direct basis evaluation,
+    (b) planting window j's tokens at window i makes the hashes equal,
+    (c) perturbing ONE token inside a window changes its hash."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(0, 2**63 - 1).flatmap(
+            lambda seed: st.tuples(
+                st.just(seed),
+                st.integers(5, 30),          # L
+                st.integers(61, 240),        # n  (>= 2L+1: disjoint plant)
+            )
+        )
+    )
+    def inner(args):
+        seed, L, n = args
+        rng = np.random.default_rng(seed)
+        toks = rng.integers(0, 2**31 - 1, size=n).astype(np.int64)
+        # disjoint windows: overlapping ones mutate the source mid-copy
+        i = int(rng.integers(0, n - 2 * L + 1))
+        j = int(rng.integers(i + L, n - L + 1))
+        toks[i : i + L] = toks[j : j + L]  # plant equal windows
+        h = dedup._rk_hashes(toks, L)
+        assert h.size == n - L + 1
+        # (a) direct evaluation at i
+        base = np.uint64(dedup._RK_BASE | 1)
+        with np.errstate(over="ignore"):
+            m = (toks.astype(np.uint64) + np.uint64(dedup._RK_BASE)) * np.uint64(
+                dedup._RK_MIX
+            )
+            m ^= m >> np.uint64(31)
+            pows = np.ones(L, dtype=np.uint64)
+            np.cumprod(np.full(L - 1, base, dtype=np.uint64), out=pows[1:])
+            direct = (m[i : i + L] * pows).sum(dtype=np.uint64)
+        assert h[i] == direct.view(np.int64).item()
+        # (b) planted equality
+        assert h[i] == h[j]
+        # (c) sensitivity: flip one token inside window i
+        toks2 = toks.copy()
+        toks2[i + L // 2] ^= 1
+        assert dedup._rk_hashes(toks2, L)[i] != h[i]
+
+    inner()
