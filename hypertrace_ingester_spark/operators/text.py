@@ -291,6 +291,8 @@ def normalize_text(
     restates the NFC form for the oracle tests."""
     from pyspark.sql import types as T
 
+    if "_nt_orig" in docs.columns:  # reserved-internal-name rule
+        raise ValueError("input carries reserved column '_nt_orig'")
     pre = (
         F.regexp_replace(F.col(text_col), CONTROL_CHARS_RE, "")
         if strip_controls
@@ -464,6 +466,12 @@ def perplexity_buckets(
     if len(labels) != len(cuts) + 1:
         raise ValueError(f"need len(labels) == len(cuts)+1, got "
                          f"{len(labels)} labels / {len(cuts)} cuts")
+    reserved = {"_pb_g", "_pb_rk", "_pb_n"} | {
+        f"_pb_cut{i}" for i in range(len(cuts))
+    }
+    clash = reserved & set(scored.columns)
+    if clash:  # keep_canonical's reserved-internal-name rule
+        raise ValueError(f"input carries reserved column(s): {sorted(clash)}")
     gcols = list(by) if by else []
     gexprs = [F.col(c) for c in gcols] or [F.lit(1).alias("_pb_g")]
     gnames = gcols or ["_pb_g"]

@@ -139,3 +139,15 @@ def test_normalize_text_nfc_oracle(spark):
     # idempotent: a second pass changes nothing
     again = txt.normalize_text(out.drop("was_normalized"))
     assert not [r for r in again.collect() if r["was_normalized"]]
+
+
+def test_reserved_internal_names_guarded(spark):
+    docs = spark.createDataFrame(
+        [(0, "x", 1.0)], "doc_id long, _nt_orig string, _pb_cut0 double")
+    import pytest as pt
+    with pt.raises(ValueError, match="_nt_orig"):
+        txt.normalize_text(docs.withColumnRenamed("_pb_cut0", "text")
+                           .withColumn("text", F.lit("t")))
+    scored = docs.withColumn("ppl", F.lit(1.0))
+    with pt.raises(ValueError, match="_pb_cut0"):
+        txt.perplexity_buckets(scored, by=())
