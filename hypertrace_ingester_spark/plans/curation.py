@@ -43,6 +43,7 @@ from ..operators import datacard as dc
 from ..operators import incremental as inc
 from ..operators import text as tx
 from ..operators import weburl as wu
+from ..sources import compaction as cpa
 from ..sources import prometheus as prom
 from ..sources import shards as sh
 
@@ -133,6 +134,12 @@ class CurationConfig:
     corpus_index_prefix: str = "corpus_index"
     corpus_jaccard_threshold: float = 0.5
     corpus_index_append: bool = False
+    # maintenance trigger for the daily-append flow: after the append, if
+    # any index table has fragmented past this many files, compact it back
+    # to one file per bucket (sources/compaction.py — zero-Exchange
+    # rewrite). Threshold-gated so the common day is metadata-probe-only;
+    # None disables.
+    corpus_index_compact_files: int | None = None
     # opt-in final write: the packed TRAIN split lands as deterministic
     # training shards (sources/shards.py — hash membership + in-shard
     # order, one task per shard dir); per-shard manifest recorded
@@ -506,6 +513,15 @@ def _curation_tail(
         manifest["index_append"] = inc.build_index(
             mixed, cfg.corpus_index_path, prefix=cfg.corpus_index_prefix,
             mode="append")
+        if cfg.corpus_index_compact_files:
+            worst = max(
+                cpa.file_stats(f"{cfg.corpus_index_path}/{t}")["n_files"]
+                for t in ("exact", "bands", "sigs")
+            )
+            if worst > cfg.corpus_index_compact_files:
+                manifest["index_compact"] = cpa.compact_index(
+                    spark, cfg.corpus_index_path,
+                    prefix=cfg.corpus_index_prefix)
 
     # 6) deterministic split
     split = sp.hash_split(mixed, cfg.split_weights, seed=cfg.seed)

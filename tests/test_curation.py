@@ -270,6 +270,10 @@ def test_corpus_index_stage_daily_crawl_flow(spark, tmp_path):
     cfg = CurationConfig(
         corpus_index_path=idx, corpus_index_prefix="t_cur_idx",
         corpus_index_append=True, near_dup=False,
+        # threshold low enough that every day's append trips maintenance:
+        # day 2 then probes a COMPACTED index, so the dup/keep assertions
+        # below also prove compaction preserves probe semantics
+        corpus_index_compact_files=1,
     )
     try:
         inc.build_index(
@@ -287,6 +291,16 @@ def test_corpus_index_stage_daily_crawl_flow(spark, tmp_path):
         assert d2["exact_dups_vs_corpus"] == man1["stages"]["mixed"]["rows"]
         ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
         assert ids2 and all(int(i) % 2 == 1 for i in ids2)
+
+        # maintenance fired and collapsed the append fragments: at most one
+        # file per bucket per table, and the manifest records the rewrite
+        from hypertrace_ingester_spark.sources import compaction as cpa
+
+        assert "index_compact" in man2
+        for t in ("exact", "bands", "sigs"):
+            stats = cpa.file_stats(f"{idx}/{t}")
+            assert stats["n_files"] <= inc.INDEX_BUCKETS, t
+            assert man2["index_compact"][t]["files_after"] == stats["n_files"]
     finally:
         for t in ("t_cur_idx_exact", "t_cur_idx_bands", "t_cur_idx_sigs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
