@@ -82,11 +82,18 @@ def _leaf_partition_dirs(path: str) -> list[str]:
 
 
 def _hidden_sibling(path: str, tag: str) -> str:
-    """Dot-prefixed sibling path: invisible to Spark's data-file listing,
-    to :func:`file_stats`, and to :func:`_leaf_partition_dirs`, so a
-    crash-left temp or old directory never pollutes reads or re-compaction."""
+    """A normal-named leaf under a dot-prefixed sibling dir
+    (``<parent>/.<tag>/<name>``): invisible to Spark's data-file listing of
+    ``<parent>`` (hive-partition readers of the root never see it), to
+    :func:`file_stats`, and to :func:`_leaf_partition_dirs`, so a
+    crash-left temp or old directory never pollutes reads or
+    re-compaction. The LEAF name stays undotted because Spark's file index
+    filters a dot-prefixed root path itself ("All paths were ignored") —
+    only ancestors may hide."""
     d, b = os.path.split(os.path.abspath(path))
-    return os.path.join(d, f".{b}.{tag}")
+    hidden_dir = os.path.join(d, f".{tag}")
+    os.makedirs(hidden_dir, exist_ok=True)
+    return os.path.join(hidden_dir, b)
 
 
 def _swap_dirs(path: str, tmp_path: str) -> None:
