@@ -23,6 +23,13 @@ band-probe semantics are set-like (a doc that matches one index row
 matches two identically), and the replayed docs were already dropped as
 exact dups of their own first append when re-presented.
 
+Per-micro-batch index appends fragment the index files (one file set
+per batch per bucket); run ``sources.compaction.compact_index`` on the
+maintenance schedule — or let a nightly batch `run_curation` with
+``corpus_index_compact_files`` set do it — to fold them back to one file
+per bucket without touching probe semantics (zero-Exchange rewrite,
+tests/test_compaction.py).
+
 Quality gates reuse the batch operators' pure column expressions
 (text.quality_score / repetition_signals) — the DataFrame lineage is the
 batch↔streaming portability layer, same as the span pipeline
