@@ -236,3 +236,59 @@ def latency_samples(spans, sample_hex_chars: str = "0123",
         (F.col("last_end_ms") - F.col("first_start_ms")).alias("e2e_latency_ms"),
         F.col("n_spans").cast("long").alias("n_spans"),
     )
+
+
+def tail_sample(
+    spans: DataFrame,
+    latency_threshold_ms: int = 800,
+    sample_hex_chars: str = "0123",
+    trace_col: str = "trace_id",
+) -> DataFrame:
+    """Tail-based trace sampling — the keep/drop decision made per TRACE,
+    after the whole trace is visible (the OpenTelemetry collector's
+    tailsamplingprocessor policy model; the reference delegates retention
+    to downstream topic/store configs, and its only in-pipeline sampler is
+    the G6 latency meter this composes with, TraceLatencyMeter.java). A
+    trace is kept by the FIRST matching policy, priority-ordered:
+
+    1. ``error`` — any span errored (``error_count > 0``) or returned a
+       5xx status;
+    2. ``latency`` — end-to-end trace latency ≥ ``latency_threshold_ms``;
+    3. ``probabilistic`` — deterministic hash sample of the remainder:
+       first hex digit of md5(tenant:trace) in ``sample_hex_chars``
+       (expected rate len(chars)/16 — the same engine-portable sampler as
+       :func:`latency_samples`, so the DuckDB oracle restates it exactly).
+
+    Returns every span of every kept trace, plus the trace's
+    ``sample_reason``. Interesting traces survive whole — the property
+    head-based (per-span, decision-at-arrival) sampling cannot give.
+
+    Scale: one partial-agg'd shuffle keyed by (tenant, trace) builds the
+    narrow per-trace decision frame (3 columns), then the keep set joins
+    back on the SAME key — co-partitioned with the aggregate, so the join
+    reuses the exchange; no second shuffle family, no driver collect. At
+    100 TB the decision frame is ~trace-count rows (two orders smaller
+    than spans) and never carries span payload.
+    """
+    has_error = F.max(
+        ((F.col("error_count") > 0) | (F.col("status_code") >= 500)).cast("int")
+    ) == 1
+    agg = spans.groupBy("tenant_id", trace_col).agg(
+        has_error.alias("_has_error"),
+        (F.max("end_ms") - F.min("start_ms")).alias("_e2e_ms"),
+    )
+    key = F.concat_ws(
+        ":", F.col("tenant_id").cast("string"), F.col(trace_col).cast("string")
+    )
+    digit = F.substring(F.md5(key), 1, 1)
+    reason = (
+        F.when(F.col("_has_error"), "error")
+        .when(F.col("_e2e_ms") >= latency_threshold_ms, "latency")
+        .when(digit.isin(*list(sample_hex_chars)), "probabilistic")
+    )
+    decisions = (
+        agg.select(
+            "tenant_id", trace_col, reason.alias("sample_reason")
+        ).where(F.col("sample_reason").isNotNull())
+    )
+    return spans.join(decisions, ["tenant_id", trace_col])

@@ -138,3 +138,63 @@ def service_call_rollup(events: DataFrame) -> DataFrame:
             round_half_up(F.avg("latency_ms"), 2).alias("avg_latency_ms"),
         )
     )
+
+
+# Variable-field masks for log template mining, applied in order: composite
+# shapes (IPs, UUIDs, hex ids) BEFORE bare numbers, or octets/uuid segments
+# degrade into <NUM> runs. Patterns are deliberately within the common
+# subset of Java regex (Spark) and RE2 (DuckDB/Go) — word boundaries,
+# char classes, bounded repeats — so the oracle restates them verbatim.
+LOG_MASKS: list[tuple[str, str]] = [
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    ),
+    (r"\b0x[0-9a-fA-F]+\b", "<HEX>"),
+    # bare digit runs last, and WITHOUT \b: "7ms"/"port8080" have no
+    # digit→letter word boundary, yet their digits are variable fields
+    (r"\d+", "<NUM>"),
+]
+
+
+def mask_log_line(col) -> "Column":
+    """The masking half of template mining as a reusable column expression
+    (pure regexp chain — fuses into the scan, whole-stage codegen)."""
+    out = col
+    for pat, tok in LOG_MASKS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def log_templates(
+    logs: DataFrame, summary_col: str = "summary", ts_col: str | None = None
+) -> DataFrame:
+    """Log template mining over a log-event stream: collapse free-text
+    lines to their constant skeleton by masking variable fields, then
+    aggregate per skeleton. The degenerate-but-scalable variant of
+    Drain-style template extraction (He et al. 2017): masking + exact
+    grouping covers the fixed-format lines that dominate service logs,
+    with ZERO driver state — one map pass + one partial-agg'd shuffle on
+    the template string (cardinality = distinct templates, not lines).
+    Complements V6 ``log_event_view`` (which gives the per-record rows
+    this summarizes; reference logs land per-record with no rollup —
+    LogEventViewGenerator.java:43-111 — so this is the analytics layer a
+    100 TB/day log volume needs on top).
+
+    Output: one row per template — ``template``, ``n_events``,
+    ``example`` (the lexicographically-min raw line, deterministic), and
+    ``first_ts_ms``/``last_ts_ms`` when ``ts_col`` is given.
+    """
+    t = logs.withColumn("template", mask_log_line(F.col(summary_col)))
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(summary_col).alias("example"),
+    ]
+    if ts_col is not None:
+        aggs += [
+            F.min(ts_col).alias("first_ts_ms"),
+            F.max(ts_col).alias("last_ts_ms"),
+        ]
+    return t.groupBy("template").agg(*aggs)
