@@ -831,3 +831,151 @@ def substring_dedup(
             yield pdf[[f.name for f in out_schema.fields]]
 
     return joined.mapInPandas(_cut, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate heavy-hitters — discover the corpus's most frequent lines and
+# strip every occurrence (the discovery pass behind C4/RefinedWeb-style
+# line-wise filtering: Raffel et al. 2020 §2.2 removes known boilerplate,
+# Penedo et al. 2023 §3.2 derive the removal list from the corpus itself).
+# line_dedup keeps ONE copy of a repeated line; this pair REMOVES lines
+# frequent enough to be template chrome ("subscribe to our newsletter",
+# cookie banners) from every doc, with the list itself as an auditable
+# artifact. Reference analog: none (driver-mandate training-data ops).
+# ---------------------------------------------------------------------------
+
+
+def line_key(line: Column) -> Column:
+    """Normalized boilerplate identity: collapse runs of whitespace, trim,
+    casefold — so indentation/wrapping variants of the same template line
+    share one key. Pure column expression; the pattern lives in the
+    Java-regex ∩ RE2 subset so a DuckDB oracle restates it verbatim
+    (``regexp_replace(..., '\\s+', ' ', 'g')``)."""
+    return F.lower(F.trim(F.regexp_replace(line, r"\s+", " ")))
+
+
+def frequent_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_docs: int = 2,
+    top_k: int | None = None,
+    sample_frac: float | None = None,
+    seed: int = 1,
+) -> DataFrame:
+    """Corpus-wide frequent-line discovery (boilerplate heavy hitters).
+
+    Returns one row per normalized line key appearing in ≥ ``min_docs``
+    DISTINCT docs: ``(line_key, n_docs, n_occurrences, example)`` —
+    ``example`` is the lexicographically smallest raw form (deterministic).
+    ``top_k`` keeps the most widespread keys, ordered by
+    ``(n_docs desc, n_occurrences desc, line_key asc)`` — a total order,
+    so the result is unique.
+
+    Scale shape (100 TB): two partial-agg'd shuffles, both collapsing
+    before the exchange — ``groupBy(line_key, doc)`` folds within-doc
+    copies map-side (a nav bar repeated per page section never travels),
+    then ``groupBy(line_key)`` folds to distinct-line cardinality. The
+    ``top_k`` limit compiles to TakeOrderedAndProject (per-partition
+    partial top-k, no global sort). True heavy hitters survive document
+    SAMPLING by construction, so ``sample_frac`` runs discovery on a
+    deterministic md5-hash slice of docs (engine-shared sampler,
+    ``sampling.md5_unit_hash`` — the oracle restates the slice exactly);
+    counts then refer to the sample and ``min_docs`` scales accordingly.
+    """
+    if sample_frac is not None:
+        from .sampling import BUCKETS, md5_unit_hash
+
+        docs = docs.where(
+            md5_unit_hash(id_col, seed) < F.lit(int(sample_frac * BUCKETS))
+        )
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), delim, -1)).alias("line"),
+    ).select(
+        F.col(id_col),
+        line_key(F.col("line")).alias("line_key"),
+        F.col("line"),
+    ).where(F.length("line_key") > 0)
+    per_doc = lines.groupBy("line_key", id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("line").alias("_example"),
+    )
+    freq = (
+        per_doc.groupBy("line_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_occurrences"),
+            F.min("_example").alias("example"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    if top_k is not None:
+        freq = freq.orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("line_key")
+        ).limit(top_k)
+    return freq
+
+
+def boilerplate_filter(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Strip every line whose normalized key is in ``boilerplate`` (a
+    bounded discovery artifact from :func:`frequent_lines` — anything with
+    a ``line_key`` column) and rebuild each doc from its surviving lines
+    in original order. Docs made entirely of boilerplate vanish (the
+    ``line_dedup`` contract). Returns
+    ``(doc_id, text, n_lines_kept, n_lines_dropped)`` plus the caller's
+    other columns untouched.
+
+    Scale shape: the boilerplate list is top-k/min-docs bounded ⇒
+    broadcast LEFT ANTI join against the exploded line stream — zero
+    shuffle for the filter itself; the only exchange is the per-doc
+    reassembly keyed by ``doc_id``. Blank lines have an empty key, are
+    never discovered, and therefore always survive."""
+    bp = F.broadcast(
+        boilerplate.select(F.col("line_key").alias("_bp_key")).distinct()
+    )
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias(
+            "line_idx", "line"
+        ),
+    ).withColumn("_bp_key", line_key(F.col("line")))
+    kept = lines.join(bp, "_bp_key", "left_anti")
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), delim, -1)).cast("long").alias(
+            "_n_lines_total"
+        ),
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("line_idx", "line"))
+            ).alias("kept")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform("kept", lambda s: s["line"]), delim
+            ).alias(text_col),
+            F.size("kept").cast("long").alias("n_lines_kept"),
+        )
+    )
+    others = docs.drop(text_col)
+    return (
+        rebuilt.join(totals, id_col)
+        .withColumn(
+            "n_lines_dropped",
+            (F.col("_n_lines_total") - F.col("n_lines_kept")).cast("long"),
+        )
+        .drop("_n_lines_total")
+        .join(others, id_col)
+    )

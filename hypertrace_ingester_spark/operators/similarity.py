@@ -652,3 +652,72 @@ def semdedup(
         .where(F.col("semdedup_cluster").isNull() | F.col("_keep").isNotNull())
         .drop("_keep", "vnorm")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — flag corpus rows whose
+    vector is near-identical (cosine ≥ ``threshold``) to ANY eval-set
+    vector. The semantic complement of ``dedup.decontaminate``'s 13-gram
+    recipe: paraphrased or reformatted eval leakage shares no 13-gram but
+    still lands at cosine ≈ 1 under a decent embedding (the PaLM/GPT-4
+    era contamination reports motivate both passes).
+
+    Output: every corpus row plus ``max_eval_cos`` (null when no hit),
+    ``n_eval_hits``, ``nearest_eval_id`` (highest-cosine eval row,
+    min-id tie-break — deterministic), and ``contaminated``.
+
+    Scale shape: eval benchmarks are bounded (10³-10⁵ rows), so the eval
+    side BROADCASTS and the whole pass is map-side — a broadcast
+    nested-loop join whose per-pair cosine is the index-ordered JVM fold
+    (``_dot``, bit-identical to DuckDB ``list_dot_product`` — full-oracle
+    property), followed by one partial-agg'd groupBy on the corpus id
+    over HITS ONLY (the ≥ threshold predicate lives in the join, so
+    non-hits never reach the aggregate). The corpus side is never
+    shuffled. For an unbounded "eval" side, block first with the
+    ``embedding_near_dups_lsh`` bucketing and feed the candidate pairs to
+    the same aggregate. Eval ids must be numeric (the min-id tie-break
+    negates them inside a max(struct) — one aggregate, no second join).
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    ).withColumn("_nrm", _norm(F.col("_e")))
+    e = eval_vectors.select(
+        F.col(eval_id_col).cast("long").alias("_eid"),
+        F.col(eval_vec_col).cast("array<double>").alias("_ee"),
+    ).withColumn("_enrm", _norm(F.col("_ee")))
+    cos = _dot(F.col("_e"), F.col("_ee")) / (F.col("_nrm") * F.col("_enrm"))
+    pairs = (
+        c.join(F.broadcast(e), cos >= F.lit(float(threshold)))
+        .select(F.col(id_col), F.col("_eid"), cos.alias("_cos"))
+    )
+    best = (
+        pairs.groupBy(id_col)
+        .agg(
+            F.max("_cos").alias("max_eval_cos"),
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max(
+                F.struct(F.col("_cos").alias("c"), (-F.col("_eid")).alias("ni"))
+            ).alias("_b"),
+        )
+        .select(
+            id_col, "max_eval_cos", "n_eval_hits",
+            (-F.col("_b.ni")).alias("nearest_eval_id"),
+        )
+    )
+    return (
+        corpus.join(best, id_col, "left")
+        .withColumn(
+            "n_eval_hits",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("n_eval_hits") > 0)
+    )

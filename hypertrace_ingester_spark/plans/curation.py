@@ -80,6 +80,17 @@ class CurationConfig:
     # page-level word blocklist for the C4 stage (the published recipe's
     # LDNOOBW filter; the list itself is caller-supplied data)
     c4_badwords: list[str] | None = None
+    # opt-in corpus-derived boilerplate removal (RefinedWeb §3.2 line-wise
+    # filtering with the list discovered from the corpus itself,
+    # dedup.frequent_lines): lines whose normalized key appears in ≥ this
+    # fraction of docs are template chrome and are stripped from EVERY doc
+    # (vs line_dedup, which keeps one copy). Runs before the profile scan
+    # so quality/Gopher signals score the real prose. The discovered list
+    # is bounded (top_k) and broadcast; discovery can run on a
+    # deterministic hash sample of docs (heavy hitters survive sampling).
+    boilerplate_min_doc_frac: float | None = None
+    boilerplate_top_k: int = 10_000
+    boilerplate_sample_frac: float | None = None
     gopher_filter: bool = True
     quality_filter: bool = True
     redact_pii: bool = True
@@ -345,6 +356,24 @@ def run_curation(
     if cfg.unicode_normalize:
         docs = tx.normalize_text(docs).drop("was_normalized")
         record("normalized", _tokens(docs))
+
+    # 0d) opt-in boilerplate heavy-hitters: discover the corpus's template
+    # lines (bounded broadcast artifact) and strip every occurrence —
+    # line-grain cleaning ahead of the profile scan, like the C4 stage
+    if cfg.boilerplate_min_doc_frac is not None:
+        import math
+
+        last_rows = list(manifest["stages"].values())[-1]["rows"]
+        eff_docs = last_rows * (cfg.boilerplate_sample_frac or 1.0)
+        min_docs = max(2, math.ceil(cfg.boilerplate_min_doc_frac * eff_docs))
+        bp_lines = dd.frequent_lines(
+            docs, min_docs=min_docs, top_k=cfg.boilerplate_top_k,
+            sample_frac=cfg.boilerplate_sample_frac, seed=cfg.seed + 31,
+        )
+        docs = dd.boilerplate_filter(docs, bp_lines).drop(
+            "n_lines_kept", "n_lines_dropped"
+        )
+        record("boilerplate", _tokens(docs))
 
     if cfg.c4_clean:
         sig = tx.c4_line_signals(docs, badwords=cfg.c4_badwords)

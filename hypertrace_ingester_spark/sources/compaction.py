@@ -229,3 +229,155 @@ def compact_index(spark: SparkSession, path: str, prefix: str = "corpus_index") 
             spark, f"{prefix}_{name}", f"{path}/{name}", ddl, cols, n_buckets
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sort-clustered rewrite — the OPTIMIZE ... ZORDER BY analog. Compaction
+# fixes file COUNT; clustering fixes file CONTENT: rewriting each leaf in
+# cluster-key order makes per-file (and per-row-group) parquet min/max
+# footers tight and disjoint, so any stats-aware reader — Spark's parquet
+# scan with pushed filters, DuckDB, Trino — skips everything outside a
+# key predicate's range. At 100 TB this is the difference between a
+# point/range query touching one file and touching all of them.
+# ---------------------------------------------------------------------------
+
+
+def z_value(cols, bits: int = 16):
+    """Morton/Z-order value: interleave the low ``bits`` bits of each
+    non-negative integer column — the multi-dimensional cluster key
+    (Z-ORDER proper; a lexicographic sort clusters only its leading
+    column). Pure shift/mask column math, whole-stage codegen'd; callers
+    quantize real-valued or unbounded columns into [0, 2^bits) first
+    (e.g. ``quantize``). bits × n_cols must fit a long (≤ 63)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"z_value needs bits*cols <= 63, got {bits}*{n}")
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            c = F.col(c) if isinstance(c, str) else c
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return out
+
+
+def quantize(col, lo: float, hi: float, bits: int = 16):
+    """Map [lo, hi] linearly onto [0, 2^bits) for ``z_value`` (clamped)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    top = (1 << bits) - 1
+    scaled = F.floor(
+        (c.cast("double") - F.lit(float(lo)))
+        / F.lit((hi - lo) or 1.0) * F.lit(float(top + 1))
+    ).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(top), scaled))
+
+
+def cluster_dir(
+    spark: SparkSession,
+    path: str,
+    cluster_by,
+    target_mb: int = DEFAULT_TARGET_MB,
+    n_files: int | None = None,
+) -> dict:
+    """Rewrite a plain or hive-partitioned parquet directory in cluster-key
+    order, per leaf: ``repartitionByRange(n, keys)`` (the distributed range
+    sort — one sampled shuffle, the price OPTIMIZE ZORDER pays too) →
+    ``sortWithinPartitions`` → atomic rename-swap (crash-safe, same
+    contract as :func:`compact_dir`). ``cluster_by`` is a list of column
+    names or Column expressions (pass ``[z_value([...])]`` for
+    multi-dimensional clustering). Also compacts as it goes (file count
+    from ``target_mb``). Returns a manifest with before/after
+    :func:`clustering_stats` overlap counts for the first key when it is a
+    plain column."""
+    from pyspark.sql import functions as F
+
+    keys = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
+    stat_col = cluster_by[0] if isinstance(cluster_by[0], str) else None
+    before_files = file_stats(path)["n_files"]
+    before_overlap = (
+        clustering_stats(path, stat_col)["overlapping_pairs"]
+        if stat_col else None
+    )
+    for leaf in _leaf_partition_dirs(path):
+        stats = file_stats(leaf)
+        if stats["n_files"] == 0:
+            continue
+        n_out = n_files or max(
+            1, math.ceil(stats["total_bytes"] / (target_mb * 1024 * 1024))
+        )
+        tmp = _hidden_sibling(leaf, "cluster-tmp")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            spark.read.parquet(leaf)
+            .repartitionByRange(n_out, *keys)
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .option("parquet.page.size", str(4 * 1024 * 1024))
+            .parquet(tmp)
+        )
+        _swap_dirs(leaf, tmp)
+    out = {
+        "path": path,
+        "files_before": before_files,
+        "files_after": file_stats(path)["n_files"],
+    }
+    if stat_col:
+        out["overlapping_pairs_before"] = before_overlap
+        out["overlapping_pairs_after"] = clustering_stats(
+            path, stat_col)["overlapping_pairs"]
+    return out
+
+
+def clustering_stats(path: str, column: str) -> dict:
+    """Per-file parquet footer [min, max] ranges for ``column`` and how
+    clustered they are: ``overlapping_pairs`` counts file pairs whose
+    ranges intersect (0 = perfectly clustered — any stats-aware scan
+    touches at most one file per point predicate), and
+    ``max_files_for_point`` is the worst-case number of files a point
+    lookup must read. Driver-side footer metadata only — the same cost as
+    a planner listing; no data pages are read."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if column not in idx:
+                continue
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[column]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                ranges.append((lo, hi, f))
+    ranges.sort()
+    overlaps = 0
+    for i in range(len(ranges)):
+        for j in range(i + 1, len(ranges)):
+            if ranges[j][0] > ranges[i][1]:
+                break  # sorted by min: no later file can overlap i either
+            overlaps += 1
+    # worst-case point fan-out: how many ranges contain some single value —
+    # bounded by scanning range endpoints
+    max_point = 0
+    for lo, hi, _ in ranges:
+        covering = sum(1 for l2, h2, _ in ranges if l2 <= lo <= h2)
+        max_point = max(max_point, covering)
+    return {
+        "n_files": len(ranges),
+        "overlapping_pairs": overlaps,
+        "max_files_for_point": max_point,
+        "ranges": [(lo, hi) for lo, hi, _ in ranges],
+    }
