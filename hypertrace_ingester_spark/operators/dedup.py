@@ -979,3 +979,41 @@ def boilerplate_filter(
         .drop("_n_lines_total")
         .join(others, id_col)
     )
+
+
+def frequent_lines_approx(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = "\n",
+    k: int = 100,
+    max_items_tracked: int = 100_000,
+) -> DataFrame:
+    """Sketch path for boilerplate discovery: ``approx_top_k`` (Spark's
+    DataSketches frequent-items aggregate) over the normalized line keys —
+    ``(line_key, est_occurrences)``, most frequent first.
+
+    Scale contrast with :func:`frequent_lines`: the exact path's shuffle
+    cardinality is the DISTINCT-line stream (fine, but it exists); here
+    each partition folds its lines into ONE bounded sketch and the
+    exchange carries only sketches (mergeable partials), so the cost is
+    independent of line cardinality — the classic heavy-hitters trade.
+    The sketch ranks by total OCCURRENCES (its native grain), not
+    distinct docs, and counts are exact whenever distinct keys <=
+    ``max_items_tracked`` (the frequent-items guarantee); use the exact
+    path when the removal list must be doc-frequency-calibrated."""
+    lines = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), delim, -1)).alias("line")
+        )
+        .select(line_key(F.col("line")).alias("line_key"))
+        .where(F.length("line_key") > 0)
+    )
+    est = lines.agg(
+        F.expr(
+            f"approx_top_k(line_key, {int(k)}, {int(max_items_tracked)})"
+        ).alias("t")
+    )
+    return est.select(F.explode("t").alias("e")).select(
+        F.col("e.item").alias("line_key"),
+        F.col("e.count").cast("long").alias("est_occurrences"),
+    )

@@ -87,3 +87,44 @@ def fan_out(routed: DataFrame, out_dir: str,
 
 def sink_names(route_rules: DataFrame) -> list[str]:
     return [r["sink"] for r in route_rules.select("sink").distinct().collect()]
+
+
+def diagnose_skew(
+    df: DataFrame,
+    keys: list[str],
+    top: int = 20,
+    target_rows_per_task: int = 1_000_000,
+    max_items_tracked: int = 100_000,
+) -> DataFrame:
+    """Heavy-hitter census of a prospective shuffle key — the measurement
+    half of the skew toolkit (``salted_repartition`` / AQE skew join are
+    the mitigation half). Returns the ``top`` hottest key values with
+    ``est_rows`` (DataSketches frequent-items estimate — exact when
+    distinct keys <= ``max_items_tracked``), ``row_frac`` of the input,
+    and ``salt_buckets`` = the bucket count that spreads that key to
+    ``target_rows_per_task`` rows per task (feed the max straight into
+    ``salted_repartition``/``fan_out``).
+
+    Scale shape: ONE aggregate job — every partition folds into a bounded
+    sketch + a count, the exchange carries sketches, never per-key rows;
+    nothing here is proportional to key cardinality. The reference sizes
+    its weighted group partitioner from static config
+    (SpanNormalizer.java:72-80); this derives the same weights from the
+    data."""
+    sep = "\x1f"  # unit separator: unambiguous composite-key join
+    kexpr = F.concat_ws(sep, *[F.col(c).cast("string") for c in keys])
+    agg = df.select(kexpr.alias("_k")).agg(
+        F.expr(
+            f"approx_top_k(_k, {int(top)}, {int(max_items_tracked)})"
+        ).alias("t"),
+        F.count(F.lit(1)).alias("_total"),
+    )
+    return agg.select(F.explode("t").alias("e"), "_total").select(
+        F.col("e.item").alias("key"),
+        F.col("e.count").cast("long").alias("est_rows"),
+        (F.col("e.count") / F.col("_total")).alias("row_frac"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("e.count") / F.lit(int(target_rows_per_task))),
+        ).cast("int").alias("salt_buckets"),
+    )

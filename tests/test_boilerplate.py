@@ -225,3 +225,19 @@ def test_curation_boilerplate_stage(spark, tmp_path):
                 "home | about | contact", COOKIE.lower()}
     # the rare line (3 docs at sf0.001's ~250 docs < 30% threshold) survives
     assert any(RARE in t for t in texts)
+
+
+def test_frequent_lines_approx_sketch_agrees_with_exact(spark, tmp_path):
+    path = _fixture(tmp_path)
+    docs = spark.read.parquet(path)
+    approx = dedup.frequent_lines_approx(docs, k=10).toPandas()
+    exact = dedup.frequent_lines(docs, min_docs=1).toPandas()
+    # cardinality here is far under max_items_tracked, so the sketch's
+    # counts are EXACT (frequent-items guarantee) — compare per key
+    exact_by_key = exact.set_index("line_key")["n_occurrences"]
+    assert len(approx) == 10
+    for _, r in approx.iterrows():
+        assert int(r["est_occurrences"]) == int(exact_by_key[r["line_key"]])
+    # the two corpus-wide templates lead the occurrence ranking
+    assert set(approx["line_key"][:2]) == {
+        "home | about | contact", COOKIE.lower()}
