@@ -277,14 +277,9 @@ def tail_sample(
         has_error.alias("_has_error"),
         (F.max("end_ms") - F.min("start_ms")).alias("_e2e_ms"),
     )
-    key = F.concat_ws(
-        ":", F.col("tenant_id").cast("string"), F.col(trace_col).cast("string")
-    )
-    digit = F.substring(F.md5(key), 1, 1)
-    reason = (
-        F.when(F.col("_has_error"), "error")
-        .when(F.col("_e2e_ms") >= latency_threshold_ms, "latency")
-        .when(digit.isin(*list(sample_hex_chars)), "probabilistic")
+    reason = tail_decision(
+        F.col("_has_error"), F.col("_e2e_ms"), F.col("tenant_id"),
+        F.col(trace_col), latency_threshold_ms, sample_hex_chars,
     )
     decisions = (
         agg.select(
@@ -292,3 +287,22 @@ def tail_sample(
         ).where(F.col("sample_reason").isNotNull())
     )
     return spans.join(decisions, ["tenant_id", trace_col])
+
+
+def tail_decision(
+    has_error, e2e_ms, tenant, trace,
+    latency_threshold_ms: int = 800,
+    sample_hex_chars: str = "0123",
+):
+    """The tail-sampling policy ladder as a reusable column expression —
+    ONE definition shared by the batch join-back (:func:`tail_sample`) and
+    the streaming decision stream (``streaming.streaming_tail_decisions``),
+    so both faces keep/drop identical traces by construction. First match
+    wins: error > latency > deterministic md5 probabilistic."""
+    key = F.concat_ws(":", tenant.cast("string"), trace.cast("string"))
+    digit = F.substring(F.md5(key), 1, 1)
+    return (
+        F.when(has_error, "error")
+        .when(e2e_ms >= latency_threshold_ms, "latency")
+        .when(digit.isin(*list(sample_hex_chars)), "probabilistic")
+    )

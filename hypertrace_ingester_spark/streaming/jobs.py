@@ -235,3 +235,72 @@ def sessionize_with_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_tail_decisions(
+    spans: DataFrame,
+    latency_threshold_ms: int = 800,
+    sample_hex_chars: str = "0123",
+    trace_col: str = "trace_id",
+    gap: str = "30 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming tail-based trace sampling: emit each trace's keep
+    decision when the trace CLOSES — the OTel collector's
+    tailsamplingprocessor ``decision_wait`` expressed as a
+    ``session_window`` over (tenant, trace) span inactivity plus the
+    watermark. One output row per kept closed trace:
+    ``(tenant_id, trace_id, sample_reason, n_spans, trace_start_ms,
+    trace_end_ms)``.
+
+    The policy ladder is literally the batch expression
+    (``group.tail_decision`` — error > latency > md5 probabilistic), so a
+    replayed stream and the batch ``group.tail_sample`` keep identical
+    traces (asserted in tests/test_tail_logs.py). This is the DECISION
+    stream; span retention is the downstream join against the span store
+    — exactly the join ``tail_sample`` performs in one shot on bounded
+    input, or an Iceberg MERGE/delete on the landed span table in
+    production.
+
+    Scale shape: per-trace state is three scalars inside Spark's session
+    -window store, evicted at watermark; the emitted frame is
+    trace-grain (orders smaller than spans) and never carries payload."""
+    from ..operators.group import tail_decision
+
+    with_ts = spans.withColumn(
+        "_event_ts", F.timestamp_millis(F.col("start_ms"))
+    ).withWatermark("_event_ts", watermark)
+    agg = (
+        with_ts.groupBy(
+            F.session_window(F.col("_event_ts"), gap),
+            F.col("tenant_id"),
+            F.col(trace_col),
+        )
+        .agg(
+            (
+                F.max(
+                    (
+                        (F.col("error_count") > 0)
+                        | (F.col("status_code") >= 500)
+                    ).cast("int")
+                )
+                == 1
+            ).alias("_has_error"),
+            F.min("start_ms").alias("trace_start_ms"),
+            F.max("end_ms").alias("trace_end_ms"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    reason = tail_decision(
+        F.col("_has_error"),
+        F.col("trace_end_ms") - F.col("trace_start_ms"),
+        F.col("tenant_id"), F.col(trace_col),
+        latency_threshold_ms, sample_hex_chars,
+    )
+    return (
+        agg.select(
+            "tenant_id", trace_col, reason.alias("sample_reason"),
+            "n_spans", "trace_start_ms", "trace_end_ms",
+        )
+        .where(F.col("sample_reason").isNotNull())
+    )

@@ -213,3 +213,65 @@ def test_tail_sample_all_tiers_synthetic(spark):
     counts = {r["trace_id"]: r["n"] for r in kept.groupBy("trace_id")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {0: 2, 2: 2, 3: 2, 5: 1}
+
+
+def test_streaming_tail_decisions_match_batch(spark, tmp_path):
+    """Stream/batch agreement: the streaming decision stream (session_window
+    close + shared policy ladder) keeps exactly the traces batch
+    tail_sample keeps, with identical reasons and per-trace stats."""
+    from hypertrace_ingester_spark.streaming.jobs import (
+        streaming_tail_decisions,
+    )
+
+    base = 1_700_000_000_000
+    rows = []
+    for t in range(40):
+        tenant = f"tn-{t % 2}"
+        trace = 1000 + t
+        err = 1 if t % 7 == 0 else 0           # error traces
+        slow = 2000 if t % 5 == 1 else 50      # latency traces (e2e >= 800)
+        for s in range(3):
+            start = base + t * 60_000 + s * 10  # spans tight within trace
+            rows.append((tenant, trace, err if s == 0 else 0,
+                         200, start, start + slow))
+    # sentinel far in the future: pushes the final watermark past every
+    # real trace so ALL of them close and emit; never closes itself
+    rows.append(("zz-sentinel", 999999, 0, 200,
+                 base + 10 * 3_600_000, base + 10 * 3_600_000 + 1))
+    spans = spark.createDataFrame(
+        rows,
+        "tenant_id string, trace_id long, error_count int, "
+        "status_code int, start_ms long, end_ms long",
+    )
+    in_dir = str(tmp_path / "spans_stream")
+    spans.coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(spans.schema).parquet(in_dir)
+    out = streaming_tail_decisions(stream, gap="30 seconds",
+                                   watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("tail_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["tenant_id"], r["trace_id"]):
+            (r["sample_reason"], r["n_spans"],
+             r["trace_start_ms"], r["trace_end_ms"])
+        for r in spark.sql("select * from tail_out").collect()
+        if r["tenant_id"] != "zz-sentinel"
+    }
+
+    batch = gp.tail_sample(spans.where(F.col("tenant_id") != "zz-sentinel"))
+    want = {
+        (r["tenant_id"], r["trace_id"]):
+            (r["sample_reason"], r["n"], r["s"], r["e"])
+        for r in batch.groupBy("tenant_id", "trace_id", "sample_reason")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("start_ms").alias("s"),
+             F.max("end_ms").alias("e"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    reasons = {v[0] for v in got.values()}
+    assert reasons == {"error", "latency", "probabilistic"}
