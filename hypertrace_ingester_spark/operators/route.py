@@ -111,8 +111,15 @@ def diagnose_skew(
     its weighted group partitioner from static config
     (SpanNormalizer.java:72-80); this derives the same weights from the
     data."""
+    # concat_ws SKIPS nulls (review find): (NULL,'prod') and ('prod',NULL)
+    # would merge into one census key even though the shuffle hashes them
+    # apart — encode NULL explicitly so every tuple keys uniquely
     sep = "\x1f"  # unit separator: unambiguous composite-key join
-    kexpr = F.concat_ws(sep, *[F.col(c).cast("string") for c in keys])
+    kexpr = F.concat_ws(
+        sep,
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+          for c in keys],
+    )
     agg = df.select(kexpr.alias("_k")).agg(
         F.expr(
             f"approx_top_k(_k, {int(top)}, {int(max_items_tracked)})"

@@ -695,8 +695,16 @@ def semantic_decontaminate(
         F.col(eval_vec_col).cast("array<double>").alias("_ee"),
     ).withColumn("_enrm", _norm(F.col("_ee")))
     cos = _dot(F.col("_e"), F.col("_ee")) / (F.col("_nrm") * F.col("_enrm"))
+    # zero-norm guard (review find): 0/0 = NaN and Spark orders NaN above
+    # every number, so an all-zero embedding would otherwise "hit" every
+    # eval vector; a zero-norm vector has no direction and matches nothing
+    cond = (
+        (F.col("_nrm") > 0)
+        & (F.col("_enrm") > 0)
+        & (cos >= F.lit(float(threshold)))
+    )
     pairs = (
-        c.join(F.broadcast(e), cos >= F.lit(float(threshold)))
+        c.join(F.broadcast(e), cond)
         .select(F.col(id_col), F.col("_eid"), cos.alias("_cos"))
     )
     best = (

@@ -366,10 +366,14 @@ def run_curation(
         last_rows = list(manifest["stages"].values())[-1]["rows"]
         eff_docs = last_rows * (cfg.boilerplate_sample_frac or 1.0)
         min_docs = max(2, math.ceil(cfg.boilerplate_min_doc_frac * eff_docs))
+        # pin the bounded discovery list: without this, every downstream
+        # action until the 'filtered' checkpoint would re-run the two
+        # full-corpus discovery shuffles (the lsh_signatures recompute
+        # lesson — round-3 ADVICE — applied here)
         bp_lines = dd.frequent_lines(
             docs, min_docs=min_docs, top_k=cfg.boilerplate_top_k,
             sample_frac=cfg.boilerplate_sample_frac, seed=cfg.seed + 31,
-        )
+        ).localCheckpoint(eager=False)
         docs = dd.boilerplate_filter(docs, bp_lines).drop(
             "n_lines_kept", "n_lines_dropped"
         )

@@ -248,23 +248,38 @@ def z_value(cols, bits: int = 16):
     (Z-ORDER proper; a lexicographic sort clusters only its leading
     column). Pure shift/mask column math, whole-stage codegen'd; callers
     quantize real-valued or unbounded columns into [0, 2^bits) first
-    (e.g. ``quantize``). bits × n_cols must fit a long (≤ 63)."""
+    (e.g. ``quantize``). Out-of-range inputs CLAMP to the boundary bucket
+    (monotone, locality-preserving) rather than silently interleaving
+    their high/sign bits into collisions with in-range keys (review
+    find); NULL inputs yield a NULL z (they range-partition first, as a
+    plain sort key would). bits × n_cols must fit a long (≤ 63)."""
     from pyspark.sql import functions as F
 
     n = len(cols)
     if bits * n > 63:
         raise ValueError(f"z_value needs bits*cols <= 63, got {bits}*{n}")
+    top = (1 << bits) - 1
     out = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
             c = F.col(c) if isinstance(c, str) else c
-            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            clamped = F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.lit(top).cast("long"), c.cast("long")),
+            )
+            # greatest/least SKIP nulls; restore null propagation so a
+            # null coordinate gives a null z, never a fake max position
+            clamped = F.when(c.isNull(), F.lit(None)).otherwise(clamped)
+            bit = F.shiftright(clamped, b).bitwiseAND(F.lit(1))
             out = out.bitwiseOR(F.shiftleft(bit, b * n + i))
     return out
 
 
 def quantize(col, lo: float, hi: float, bits: int = 16):
-    """Map [lo, hi] linearly onto [0, 2^bits) for ``z_value`` (clamped)."""
+    """Map [lo, hi] linearly onto [0, 2^bits) for ``z_value`` (clamped).
+    NULL stays NULL — Spark's greatest/least skip nulls, which would
+    otherwise silently quantize null rows to the TOP bucket (review
+    find)."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
@@ -273,7 +288,8 @@ def quantize(col, lo: float, hi: float, bits: int = 16):
         (c.cast("double") - F.lit(float(lo)))
         / F.lit((hi - lo) or 1.0) * F.lit(float(top + 1))
     ).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit(top), scaled))
+    clamped = F.greatest(F.lit(0), F.least(F.lit(top), scaled))
+    return F.when(c.isNull(), F.lit(None)).otherwise(clamped)
 
 
 def cluster_dir(
@@ -297,11 +313,19 @@ def cluster_dir(
 
     keys = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
     stat_col = cluster_by[0] if isinstance(cluster_by[0], str) else None
+
+    def _overlap_sum() -> int:
+        # audit PER LEAF: leaves of a hive tree legitimately span the same
+        # key range (clustering is within-partition), so a whole-tree
+        # clustering_stats would count cross-leaf pairs and report failure
+        # on a perfectly clustered table (review find)
+        return sum(
+            clustering_stats(leaf, stat_col)["overlapping_pairs"]
+            for leaf in _leaf_partition_dirs(path)
+        )
+
     before_files = file_stats(path)["n_files"]
-    before_overlap = (
-        clustering_stats(path, stat_col)["overlapping_pairs"]
-        if stat_col else None
-    )
+    before_overlap = _overlap_sum() if stat_col else None
     for leaf in _leaf_partition_dirs(path):
         stats = file_stats(leaf)
         if stats["n_files"] == 0:
@@ -328,8 +352,7 @@ def cluster_dir(
     }
     if stat_col:
         out["overlapping_pairs_before"] = before_overlap
-        out["overlapping_pairs_after"] = clustering_stats(
-            path, stat_col)["overlapping_pairs"]
+        out["overlapping_pairs_after"] = _overlap_sum()
     return out
 
 

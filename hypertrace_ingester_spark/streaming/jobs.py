@@ -256,7 +256,15 @@ def streaming_tail_decisions(
     The policy ladder is literally the batch expression
     (``group.tail_decision`` — error > latency > md5 probabilistic), so a
     replayed stream and the batch ``group.tail_sample`` keep identical
-    traces (asserted in tests/test_tail_logs.py). This is the DECISION
+    traces (asserted in tests/test_tail_logs.py) PROVIDED each trace's
+    span STARTS fall within ``gap`` of each other — the inherent
+    tail-sampling trade (OTel's ``decision_wait`` has the same contract:
+    spans arriving after the decision window are judged without the
+    full trace). A trace quieter than ``gap`` mid-flight closes as
+    separate sessions, each decided on its own spans (latency measured
+    per fragment, possibly multiple decision rows per (tenant, trace));
+    size ``gap`` to the expected in-trace span spread, exactly as you
+    would size decision_wait. This is the DECISION
     stream; span retention is the downstream join against the span store
     — exactly the join ``tail_sample`` performs in one shot on bounded
     input, or an Iceberg MERGE/delete on the landed span table in

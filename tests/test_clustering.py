@@ -141,3 +141,33 @@ def test_zorder_clustering_on_two_dims(spark, tmp_path):
         # z-curve locality: the average file covers well under the full
         # 0..1023 span of each interleaved dimension
         assert sum(spans) / len(spans) < 900
+
+
+def test_quantize_and_z_value_null_and_overflow_semantics(spark):
+    df = spark.createDataFrame(
+        [(None,), (50.0,)], "v double")
+    got = [r[0] for r in df.select(
+        cpa.quantize("v", 0.0, 100.0, bits=8)).collect()]
+    assert got[0] is None          # null stays null, never the top bucket
+    assert got[1] == 128
+    z = spark.createDataFrame(
+        [(0, 0), (1024, 0), (1023, 0), (None, 0)],
+        "x long, y long").select(
+        cpa.z_value(["x", "y"], bits=10).alias("z")).collect()
+    z = [r["z"] for r in z]
+    assert z[0] != z[1]            # 1024 clamps to 1023, never aliases 0
+    assert z[1] == z[2]            # ...and equals the boundary bucket
+    assert z[3] is None            # null coordinate -> null z
+
+
+def test_cluster_dir_hive_manifest_counts_per_leaf(spark, tmp_path):
+    path = str(tmp_path / "docs_by_lang2")
+    (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .repartition(6, "text")
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+    )
+    man = cpa.cluster_dir(spark, path, ["doc_id"], n_files=3)
+    # leaves legitimately share the doc_id range; the audit must count
+    # overlap WITHIN leaves only, so a clustered tree reads 0
+    assert man["overlapping_pairs_after"] == 0

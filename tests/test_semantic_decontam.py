@@ -126,3 +126,21 @@ def test_semantic_decontaminate_no_hits_path(spark, tmp_path):
     assert not out["contaminated"].any()
     assert (out["n_eval_hits"] == 0).all()
     assert out["max_eval_cos"].isna().all()
+
+
+def test_semantic_decontaminate_zero_norm_vectors_match_nothing(spark):
+    import numpy as np
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    evalset = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           sim.semantic_decontaminate(corpus, evalset, 0.95).collect()}
+    # the zero corpus vector is NOT flagged against everything (NaN guard)
+    assert not out[2]["contaminated"]
+    # the zero eval vector flags nobody; the exact copy still hits
+    assert out[1]["contaminated"] and out[1]["nearest_eval_id"] == 10
+    assert not out[3]["contaminated"]

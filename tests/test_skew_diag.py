@@ -68,3 +68,17 @@ def test_diagnose_skew_composite_key(spark):
         spark.createDataFrame(pdf), ["a", "b"], top=5).toPandas()
     assert diag.iloc[0]["key"] == "x\x1f1"
     assert diag.iloc[0]["est_rows"] == 2
+
+
+def test_diagnose_skew_null_components_stay_distinct(spark):
+    pdf = pd.DataFrame({
+        "a": [None, "prod", None, "prod"],
+        "b": ["prod", None, "prod", None],
+    })
+    diag = route.diagnose_skew(
+        spark.createDataFrame(pdf.astype(object), "a string, b string"),
+        ["a", "b"], top=5).toPandas()
+    # (NULL, prod) and (prod, NULL) are different shuffle keys: the
+    # census must report two keys of 2 rows, never one merged key of 4
+    assert len(diag) == 2
+    assert sorted(diag["est_rows"]) == [2, 2]

@@ -275,3 +275,40 @@ def test_streaming_tail_decisions_match_batch(spark, tmp_path):
     assert len(got) > 0
     reasons = {v[0] for v in got.values()}
     assert reasons == {"error", "latency", "probabilistic"}
+
+
+def test_streaming_tail_decisions_fragmenting_is_the_documented_trade(spark, tmp_path):
+    """A trace quieter than `gap` mid-flight closes as separate sessions,
+    each judged on its own spans — the documented decision_wait trade."""
+    from hypertrace_ingester_spark.streaming.jobs import (
+        streaming_tail_decisions,
+    )
+
+    base = 1_700_000_000_000
+    rows = [
+        # one trace, two spans 45s apart (gap=30s): two sessions; each
+        # fragment errors, so both fragments emit an 'error' decision
+        ("tn-0", 1, 1, 500, base, base + 10),
+        ("tn-0", 1, 1, 500, base + 45_000, base + 45_010),
+        # sentinel to advance the watermark
+        ("zz", 9, 0, 200, base + 3_600_000, base + 3_600_001),
+    ]
+    spans = spark.createDataFrame(
+        rows,
+        "tenant_id string, trace_id long, error_count int, "
+        "status_code int, start_ms long, end_ms long")
+    in_dir = str(tmp_path / "frag_stream")
+    spans.coalesce(1).write.parquet(in_dir)
+    out = streaming_tail_decisions(
+        spark.readStream.schema(spans.schema).parquet(in_dir),
+        gap="30 seconds", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("frag_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = [r for r in spark.sql("select * from frag_out").collect()
+           if r["tenant_id"] == "tn-0"]
+    assert len(res) == 2                      # one row PER FRAGMENT
+    assert {r["sample_reason"] for r in res} == {"error"}
+    assert {r["n_spans"] for r in res} == {1}
