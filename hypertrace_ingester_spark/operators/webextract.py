@@ -260,7 +260,15 @@ def roundtrip_documents(docs: DataFrame, n_files: int = 32) -> DataFrame:
     records = pages.select(
         "doc_id", warc.wrap_record(F.col("doc_id"), F.col("html")).alias("record")
     )
-    files = warc.group_warc_files(records, n_files=n_files)
+    # pin file-grain width: the group_warc_files shuffle emits n_files
+    # rows whose BYTE size is tiny by AQE's accounting, so adaptive
+    # coalescing folds them into ONE partition — and every downstream
+    # regexp stage (record split, header parse, tag strip, the fused
+    # profile in d_text_profile) inherits that width, serializing ~40 s
+    # of 32-way CPU onto one core (measured: roundtrip+profile 7.2 s →
+    # 2.0 s at sf0.1). An explicit repartition(n) is exempt from AQE
+    # coalescing; real ingestion gets its width from the many-files scan.
+    files = warc.group_warc_files(records, n_files=n_files).repartition(n_files)
     parsed = warc.parse_warc(files).filter(
         (F.col("warc_type") == "response") & F.col("content_len_ok")
     )
