@@ -275,3 +275,91 @@ def incremental_dedup(
         "kept": n3,
     }
     return kept, manifest
+
+
+def _dir_rows(path: str) -> int:
+    """Exact row count from parquet footers — metadata only, no job."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return n
+
+
+def remove_docs(
+    spark: SparkSession,
+    path: str,
+    doc_ids,
+    prefix: str = "corpus_index",
+) -> dict:
+    """Right-to-be-forgotten maintenance for the dedup index: purge every
+    index row belonging to ``doc_ids`` from all three tables — after a
+    takedown the corpus must not only drop the documents
+    (``sources.compaction.delete_ids`` on the corpus files) but also stop
+    remembering their hashes, or tomorrow's delta would still dedup
+    against deleted content and silently re-suppress a legitimate
+    re-submission.
+
+    Layout-preserving: each table is re-read through its bucket-aligned
+    scan (one task = one whole bucket, ``autoBucketedScan`` forced off —
+    the ``compact_bucketed_table`` rule), anti-filtered against the
+    broadcast id list (a Filter never disturbs the scan's reported
+    partitioning), and rewritten with the IDENTICAL bucketBy spec — zero
+    Exchange — then rename-swapped (crash leaves the original). Row
+    counts in the manifest come from parquet footers, not count jobs.
+
+    Deletion requests are bounded, so ``doc_ids`` is a driver-held list
+    (the ids are matched as strings — the index's storage type)."""
+    from pyspark.sql import functions as F
+
+    from ..sources import compaction as cpa
+
+    idx = load_index(spark, path, prefix=prefix)
+    meta = idx.get("_meta") or {}
+    n_buckets = meta.get("n_buckets", INDEX_BUCKETS)
+    ids = [str(i) for i in doc_ids]
+    specs = {
+        "exact": ("text_hash string, doc_id string", ["text_hash"]),
+        "bands": ("band_hash bigint, doc_id string", ["band_hash"]),
+        "sigs": ("doc_id string, minhash array<bigint>", ["doc_id"]),
+    }
+    out: dict = {"path": path, "tables": {}}
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        for name, (ddl, cols) in specs.items():
+            table = f"{prefix}_{name}"
+            tpath = f"{path}/{name}"
+            before = _dir_rows(tpath)
+            src = bucketing.ensure_bucketed_table(
+                spark, table, tpath, ddl, cols, n_buckets
+            ).filter(~F.col("doc_id").isin(ids))
+            tmp_path = cpa._hidden_sibling(tpath, "remove-tmp")
+            tmp_table = f"{table}_remove_tmp"
+            if os.path.exists(tmp_path):
+                import shutil
+
+                shutil.rmtree(tmp_path)
+            bucketing.write_bucketed(
+                src, tmp_table, cols, n_buckets, mode="overwrite",
+                path=tmp_path,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            cpa._swap_dirs(tpath, tmp_path)
+            bucketing.ensure_bucketed_table(
+                spark, table, tpath, ddl, cols, n_buckets
+            )
+            out["tables"][name] = {
+                "rows_before": before,
+                "rows_after": _dir_rows(tpath),
+            }
+    finally:
+        spark.conf.set(auto_key, prev_auto)
+    return out

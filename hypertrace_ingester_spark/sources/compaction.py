@@ -404,3 +404,117 @@ def clustering_stats(path: str, column: str) -> dict:
         "max_files_for_point": max_point,
         "ranges": [(lo, hi) for lo, hi, _ in ranges],
     }
+
+
+# ---------------------------------------------------------------------------
+# Targeted row deletion — the DELETE/right-to-be-forgotten maintenance pass
+# (Iceberg DELETE FROM / Delta delete-vector analog). A deletion request is
+# a bounded id list; rewriting 100 TB for 1k doc ids is absurd, so the pass
+# prunes at FILE granularity with the same parquet min/max footers the
+# clustered layout keeps tight: only files whose id range can contain a
+# target are rewritten (and replaced atomically, one by one). On a
+# cluster_dir'd table a narrow id range touches one file — clustering is
+# what makes deletes cheap.
+# ---------------------------------------------------------------------------
+
+
+def delete_ids(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    ids,
+) -> dict:
+    """Delete every row whose ``id_col`` is in ``ids`` from a plain or
+    hive-partitioned parquet directory, in place.
+
+    Per data file: the footer's [min, max] for ``id_col`` is checked
+    against the sorted id list (driver-side metadata only); files that
+    cannot contain a target are NEVER read or rewritten — their bytes are
+    untouched, which the tests assert. A candidate file is re-read with
+    the anti-filter, written to a hidden temp, and atomically
+    ``os.replace``d over the original (readers see the old or the new
+    file, never a half-write; a crash leaves the original). Row counts
+    come from footers (free), so the manifest reports exact
+    ``rows_deleted`` without a counting job.
+
+    Deletion requests are bounded (takedowns, opt-outs, eval-set purges),
+    so ``ids`` is a driver-held list; the filter compiles to a codegen'd
+    ``NOT IN`` over the per-file candidate subset. Pair with
+    :func:`cluster_dir`: on a clustered table a contiguous id range lands
+    in one file (write amplification 1), on a scattered table the same
+    delete rewrites every file — the manifest's ``files_rewritten`` makes
+    the difference visible."""
+    import bisect
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ids_sorted = sorted(set(ids))
+    files_scanned = 0
+    files_rewritten = 0
+    rows_deleted = 0
+    for root, dirs, fnames in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in sorted(fnames):
+            if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, fname)
+            md = pq.ParquetFile(fpath).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            if id_col not in idx:
+                continue
+            files_scanned += 1
+            lo, hi, n_rows = None, None, md.num_rows
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[id_col]).statistics
+                if st is None or not st.has_min_max:
+                    lo = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                # any target inside [lo, hi]? (sorted ids, binary search)
+                left = bisect.bisect_left(ids_sorted, lo)
+                if left >= len(ids_sorted) or ids_sorted[left] > hi:
+                    continue  # pruned: file untouched, never read
+                cand = ids_sorted[left:bisect.bisect_right(ids_sorted, hi)]
+            else:
+                cand = ids_sorted  # no stats: must check everything
+            tmp = _hidden_sibling(fpath, "delete-tmp")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            (
+                spark.read.parquet(fpath)
+                .filter(~F.col(id_col).isin([x for x in cand]))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("parquet.page.size", str(4 * 1024 * 1024))
+                .parquet(tmp)
+            )
+            parts = [p for p in os.listdir(tmp)
+                     if p.endswith(".parquet") and not p.startswith(("_", "."))]
+            new_rows = sum(
+                pq.ParquetFile(os.path.join(tmp, p)).metadata.num_rows
+                for p in parts
+            )
+            rows_deleted += n_rows - new_rows
+            # the local Hadoop FS keeps a `.<name>.crc` sidecar per file;
+            # replacing the parquet bytes under the old name would leave a
+            # stale checksum and poison every future read — drop it
+            crc = os.path.join(root, f".{fname}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            if parts and new_rows > 0:
+                os.replace(os.path.join(tmp, parts[0]), fpath)
+            else:  # everything in the file was deleted: no 0-row husk
+                os.remove(fpath)
+            shutil.rmtree(tmp, ignore_errors=True)
+            files_rewritten += 1
+    return {
+        "path": path,
+        "files_scanned": files_scanned,
+        "files_rewritten": files_rewritten,
+        "files_pruned": files_scanned - files_rewritten,
+        "rows_deleted": rows_deleted,
+    }
