@@ -191,6 +191,7 @@ def ingest_crawl(
     max_link_density: float = 0.35,
     keep_links: bool = False,
     honor_noindex: bool = True,
+    robots_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Crawl files → documents: the ingestion head that makes the curation
     plan start where a real corpus build starts (WARC bytes, not clean
@@ -250,7 +251,15 @@ def ingest_crawl(
             .otherwise(F.col("links"))
             .alias("links")
         )
-    return ex.select(*cols).where(F.col("text") != "")
+    out = ex.select(*cols).where(F.col("text") != "")
+    if robots_rules is not None:
+        # host-level policy (robots.txt, RFC 9309) on top of the page-level
+        # meta-robots honored above; rules come from sources.robots.
+        # parse_robots on the crawl's own robots.txt fetches
+        from ..sources import robots as rbt
+
+        out = rbt.robots_filter(out, robots_rules, url_col="url")
+    return out
 
 
 def run_curation(
