@@ -112,6 +112,12 @@ class CurationConfig:
     # corpus; docs cut to zero tokens vanish.
     exact_substr_length: int | None = None
     decontaminate_k: int = 13
+    # opt-in SEMANTIC decontamination (similarity.semantic_decontaminate):
+    # when the docs frame carries an embedding column and run_curation is
+    # given eval_vectors, rows with cosine >= this to ANY eval vector drop
+    # — the paraphrase-leakage complement of the 13-gram pass above
+    semantic_threshold: float | None = None
+    embedding_col: str = "embedding"
     # opt-in real BPE tokenization before packing: the tokenizer trains on
     # the TRAIN split only (no val/test leakage into the vocabulary), the
     # train docs gain bpe_tokens, and packing runs on real subword counts
@@ -269,6 +275,7 @@ def run_curation(
     config: CurationConfig | None = None,
     resume: bool = False,
     lm_docs: DataFrame | None = None,
+    eval_vectors: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation pipeline; returns ``(curated, manifest)`` where
     ``curated`` carries ``doc_id, source, text, n_tokens, split`` plus
@@ -307,10 +314,16 @@ def run_curation(
             manifest["resumed_from"] = dedup_ckpt
             return _curation_tail(
                 spark, deduped, eval_docs, cfg, manifest, record, t0,
-                lm_docs=lm_docs,
+                lm_docs=lm_docs, eval_vectors=eval_vectors,
             )
 
     base_cols = [c for c in ("doc_id", "source", "lang") if c in docs.columns]
+    if cfg.semantic_threshold is not None and cfg.embedding_col in docs.columns:
+        # the tail's semantic-decontamination stage needs the vectors, so
+        # they ride the doc frame through the prefix (the one case where a
+        # wide column is deliberately carried — the alternative is a full
+        # embeddings join in the tail)
+        base_cols.append(cfg.embedding_col)
     record("input", _tokens(docs))
 
     # 0a) opt-in URL-grain curation — BEFORE anything reads the text
@@ -471,7 +484,7 @@ def run_curation(
         manifest["checkpointed_to"] = dedup_ckpt
 
     return _curation_tail(spark, deduped, eval_docs, cfg, manifest, record,
-                          t0, lm_docs=lm_docs)
+                          t0, lm_docs=lm_docs, eval_vectors=eval_vectors)
 
 
 def _curation_tail(
@@ -483,6 +496,7 @@ def _curation_tail(
     record,
     t0: float,
     lm_docs: DataFrame | None = None,
+    eval_vectors: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Stages after the dedup checkpoint boundary: [corpus-index probe] →
     decontaminate → mixture → split → (BPE) → pack → [index append].
@@ -532,6 +546,26 @@ def _curation_tail(
     else:
         clean = deduped
     record("decontaminated", clean)
+
+    # 4b) opt-in semantic decontamination — the paraphrase complement of
+    # the 13-gram pass, when the corpus carries embeddings and the caller
+    # supplies eval_vectors (columns: vec_id, <embedding_col>)
+    if (
+        cfg.semantic_threshold is not None
+        and eval_vectors is not None
+        and cfg.embedding_col in clean.columns
+    ):
+        from ..operators import similarity as sim
+
+        flagged = sim.semantic_decontaminate(
+            clean, eval_vectors, threshold=cfg.semantic_threshold,
+            id_col="doc_id", vec_col=cfg.embedding_col,
+            eval_vec_col=cfg.embedding_col,
+        )
+        clean = flagged.where(~F.col("contaminated")).drop(
+            "max_eval_cos", "n_eval_hits", "nearest_eval_id", "contaminated"
+        )
+        record("semantic_decontaminated", clean)
 
     # 5) mixture sampling — explicit target proportions, or mT5
     # temperature-scaled natural proportions (both token-budgeted)

@@ -144,3 +144,34 @@ def test_semantic_decontaminate_zero_norm_vectors_match_nothing(spark):
     # the zero eval vector flags nobody; the exact copy still hits
     assert out[1]["contaminated"] and out[1]["nearest_eval_id"] == 10
     assert not out[3]["contaminated"]
+
+
+def test_curation_semantic_decontamination_stage(spark):
+    from hypertrace_ingester_spark.plans import curation as cur
+
+    # 30 docs with orthogonal-ish embeddings; eval set contains doc 7's
+    # exact vector — the 13-gram pass can't catch it (texts differ), the
+    # semantic stage must
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(15)),
+         [1.0 if d == i % 8 else 0.1 * ((i * d) % 3) for d in range(8)])
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+    evalv = spark.createDataFrame(
+        [(500, rows[7][2])], "vec_id long, embedding array<double>")
+    cfg = cur.CurationConfig(
+        semantic_threshold=0.999,
+        gopher_filter=False, quality_filter=False, redact_pii=False,
+        near_dup=False,
+    )
+    curated, manifest = cur.run_curation(
+        spark, docs, config=cfg, eval_vectors=evalv)
+    assert "semantic_decontaminated" in manifest["stages"]
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert 7 not in ids
+    # only vectors truly at cosine ~1 with the eval vector drop; doc 7's
+    # exact twin under the construction is any i with identical embedding
+    twins = {i for i, _, e in rows if e == rows[7][2]}
+    assert ids == set(range(30)) - twins
