@@ -45,6 +45,15 @@ from . import dedup as dd
 
 INDEX_BUCKETS = 32
 
+# the single definition of the three index tables' (DDL, bucket cols) —
+# shared by load_index / remove_docs / sources.compaction.compact_index so
+# a schema or bucket-key change cannot drift between them (review find)
+INDEX_SPECS = {
+    "exact": ("text_hash string, doc_id string", ["text_hash"]),
+    "bands": ("band_hash bigint, doc_id string", ["band_hash"]),
+    "sigs": ("doc_id string, minhash array<bigint>", ["doc_id"]),
+}
+
 _META_FILE = "_index_meta.json"
 
 
@@ -166,15 +175,10 @@ def load_index(
     t = _tables(prefix)
     out = {"_meta": meta} if meta else {}
     return out | {
-        "exact": bucketing.ensure_bucketed_table(
-            spark, t["exact"], f"{path}/exact",
-            "text_hash string, doc_id string", ["text_hash"], n_buckets),
-        "bands": bucketing.ensure_bucketed_table(
-            spark, t["bands"], f"{path}/bands",
-            "band_hash bigint, doc_id string", ["band_hash"], n_buckets),
-        "sigs": bucketing.ensure_bucketed_table(
-            spark, t["sigs"], f"{path}/sigs",
-            "doc_id string, minhash array<bigint>", ["doc_id"], n_buckets),
+        name: bucketing.ensure_bucketed_table(
+            spark, t[name], f"{path}/{name}", ddl, cols, n_buckets
+        )
+        for name, (ddl, cols) in INDEX_SPECS.items()
     }
 
 
@@ -323,11 +327,7 @@ def remove_docs(
     meta = idx.get("_meta") or {}
     n_buckets = meta.get("n_buckets", INDEX_BUCKETS)
     ids = [str(i) for i in doc_ids]
-    specs = {
-        "exact": ("text_hash string, doc_id string", ["text_hash"]),
-        "bands": ("band_hash bigint, doc_id string", ["band_hash"]),
-        "sigs": ("doc_id string, minhash array<bigint>", ["doc_id"]),
-    }
+    specs = INDEX_SPECS
     out: dict = {"path": path, "tables": {}}
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prev_auto = spark.conf.get(auto_key, "true")

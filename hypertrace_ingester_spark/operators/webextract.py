@@ -265,8 +265,8 @@ def roundtrip_documents(docs: DataFrame, n_files: int = 32) -> DataFrame:
     # coalescing folds them into ONE partition — and every downstream
     # regexp stage (record split, header parse, tag strip, the fused
     # profile in d_text_profile) inherits that width, serializing ~40 s
-    # of 32-way CPU onto one core (measured: roundtrip+profile 7.2 s →
-    # 2.0 s at sf0.1). An explicit repartition(n) is exempt from AQE
+    # of 32-way CPU onto one core (measured: roundtrip+profile 7.22 s →
+    # 1.11 s at sf0.1). An explicit repartition(n) is exempt from AQE
     # coalescing; real ingestion gets its width from the many-files scan.
     files = warc.group_warc_files(records, n_files=n_files).repartition(n_files)
     parsed = warc.parse_warc(files).filter(

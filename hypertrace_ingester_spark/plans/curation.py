@@ -230,6 +230,15 @@ def ingest_crawl(
         parsed = wx.robots_meta(parsed, html_col="html")
     if honor_noindex:  # page-level robots opt-out, enforced at extraction
         parsed = parsed.where(~F.col("robots_noindex"))
+    if robots_rules is not None:
+        # host-level robots.txt policy (RFC 9309, sources/robots.py) —
+        # applied BEFORE extraction so disallowed pages never pay the
+        # regexp-heavy boilerplate removal (review find); robots_filter is
+        # itself map-side (broadcast host→rules dim + row-local winner),
+        # so the ingestion head stays shuffle-free
+        from ..sources import robots as rbt
+
+        parsed = rbt.robots_filter(parsed, robots_rules, url_col="target_uri")
     ex = wx.extract_text(
         parsed, min_words=min_words, max_link_density=max_link_density
     )
@@ -257,15 +266,7 @@ def ingest_crawl(
             .otherwise(F.col("links"))
             .alias("links")
         )
-    out = ex.select(*cols).where(F.col("text") != "")
-    if robots_rules is not None:
-        # host-level policy (robots.txt, RFC 9309) on top of the page-level
-        # meta-robots honored above; rules come from sources.robots.
-        # parse_robots on the crawl's own robots.txt fetches
-        from ..sources import robots as rbt
-
-        out = rbt.robots_filter(out, robots_rules, url_col="url")
-    return out
+    return ex.select(*cols).where(F.col("text") != "")
 
 
 def run_curation(
@@ -318,11 +319,16 @@ def run_curation(
             )
 
     base_cols = [c for c in ("doc_id", "source", "lang") if c in docs.columns]
-    if cfg.semantic_threshold is not None and cfg.embedding_col in docs.columns:
+    if (
+        cfg.semantic_threshold is not None
+        and eval_vectors is not None
+        and cfg.embedding_col in docs.columns
+    ):
         # the tail's semantic-decontamination stage needs the vectors, so
         # they ride the doc frame through the prefix (the one case where a
         # wide column is deliberately carried — the alternative is a full
-        # embeddings join in the tail)
+        # embeddings join in the tail); without eval_vectors the stage
+        # can't run, so the carry would be pure cost (review find)
         base_cols.append(cfg.embedding_col)
     record("input", _tokens(docs))
 
@@ -563,7 +569,9 @@ def _curation_tail(
             eval_vec_col=cfg.embedding_col,
         )
         clean = flagged.where(~F.col("contaminated")).drop(
-            "max_eval_cos", "n_eval_hits", "nearest_eval_id", "contaminated"
+            "max_eval_cos", "n_eval_hits", "nearest_eval_id", "contaminated",
+            cfg.embedding_col,  # dead weight past this stage: never let the
+            # wide vector ride mixture/split/packing/shards (review find)
         )
         record("semantic_decontaminated", clean)
 

@@ -218,13 +218,8 @@ def compact_index(spark: SparkSession, path: str, prefix: str = "corpus_index") 
     idx = inc.load_index(spark, path, prefix=prefix)
     meta = idx.get("_meta") or {}
     n_buckets = meta.get("n_buckets", inc.INDEX_BUCKETS)
-    t = {
-        "exact": ("text_hash string, doc_id string", ["text_hash"]),
-        "bands": ("band_hash bigint, doc_id string", ["band_hash"]),
-        "sigs": ("doc_id string, minhash array<bigint>", ["doc_id"]),
-    }
     out = {}
-    for name, (ddl, cols) in t.items():
+    for name, (ddl, cols) in inc.INDEX_SPECS.items():
         out[name] = compact_bucketed_table(
             spark, f"{prefix}_{name}", f"{path}/{name}", ddl, cols, n_buckets
         )
@@ -486,7 +481,12 @@ def delete_ids(
                 shutil.rmtree(tmp)
             (
                 spark.read.parquet(fpath)
-                .filter(~F.col(id_col).isin([x for x in cand]))
+                # NOT-IN is three-valued: NULL ids would evaluate to NULL
+                # and be dropped by WHERE — keep them explicitly (review
+                # find: a takedown must never delete un-requested rows)
+                .filter(
+                    F.col(id_col).isNull() | ~F.col(id_col).isin(list(cand))
+                )
                 .coalesce(1)
                 .write.mode("overwrite")
                 .option("parquet.page.size", str(4 * 1024 * 1024))
@@ -511,6 +511,13 @@ def delete_ids(
                 os.remove(fpath)
             shutil.rmtree(tmp, ignore_errors=True)
             files_rewritten += 1
+    if files_scanned == 0:
+        # a compliance delete must never silently no-op: the id column is
+        # not a data-file column here (hive partition key? typo?)
+        raise ValueError(
+            f"delete_ids: no data file under {path} carries column "
+            f"{id_col!r} — nothing was checked, nothing was deleted"
+        )
     return {
         "path": path,
         "files_scanned": files_scanned,

@@ -138,33 +138,39 @@ def robots_filter(
     matches the URL's path, the LONGEST path wins; on a length tie,
     ``allow`` wins; a URL matching no rule is allowed.
 
-    Scale shape: rules broadcast (host-grain bounded), the per-doc
-    winner is one ``max(struct(length, allow))`` partial-agg'd aggregate
-    over MATCHING (doc, rule) pairs only — the docs side is never
-    shuffled beyond that aggregate, and docs on hosts with no rules skip
-    the aggregate entirely via the left join."""
+    Scale shape: ENTIRELY map-side. The rules fold into one bounded
+    (host → rules array) dim that broadcasts; the per-URL winner is an
+    array filter + array_max over that row-local array — the doc frame
+    (and its text payload) is NEVER shuffled or re-joined on a
+    corpus-scale key (review find: the first form aggregated per-URL
+    hits, a corpus-sized frame, and sort-merge-joined the payload back
+    on url). Docs on hosts with no rules keep a NULL array and pass."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+                F.col("pattern").alias("p"),
+            )
+        ).alias("_rules")
+    ).withColumnRenamed("host", "_host")
     path = F.regexp_extract(
         F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$", 1
     )
-    d = docs.withColumn("_path", F.when(path == "", "/").otherwise(path))
-    hits = (
-        d.select(F.col(url_col).alias("_u"), "_path")
-        .withColumn("_host", _host_expr("_u"))
-        .join(F.broadcast(rules.withColumnRenamed("host", "_host")), "_host")
-        .where(F.expr("_path RLIKE pattern"))
-        .groupBy("_u")
-        .agg(
-            F.max(
-                F.struct(
-                    F.length("path").alias("l"),
-                    F.col("allow").cast("int").alias("a"),
-                )
-            ).alias("_win")
+    d = (
+        docs.withColumn("_path", F.when(path == "", "/").otherwise(path))
+        .withColumn("_host", _host_expr(url_col))
+        .join(F.broadcast(per_host), "_host", "left")
+    )
+    win = F.array_max(
+        F.expr(
+            "transform(filter(_rules, r -> _path rlike r.p),"
+            " r -> struct(r.l as l, r.a as a))"
         )
-        .select(F.col("_u"), (F.col("_win.a") == 1).alias("_allowed"))
     )
-    return (
-        d.join(hits, d[url_col] == hits["_u"], "left")
-        .where(F.coalesce(F.col("_allowed"), F.lit(True)))
-        .drop("_u", "_allowed", "_path")
+    keep = (
+        F.col("_rules").isNull()       # host without robots rules
+        | win.isNull()                  # rules exist, none match this path
+        | (win["a"] == 1)               # longest match is an Allow
     )
+    return d.where(keep).drop("_rules", "_host", "_path")

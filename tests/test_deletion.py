@@ -145,3 +145,26 @@ def test_remove_docs_purges_index_and_forgets(spark, tmp_path):
     kept2, m2 = inc.incremental_dedup(delta2, index, threshold=0.5)
     assert m2["exact_dups_vs_corpus"] == 1
     assert kept2.count() == 0
+
+
+def test_delete_ids_never_touches_null_id_rows(spark, tmp_path):
+    path = str(tmp_path / "with_nulls")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "keep me"), (2, "b"), (None, "me too"), (3, "c")],
+        "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    man = cpa.delete_ids(spark, path, "doc_id", [2])
+    # NOT-IN is three-valued: the anti-filter must keep NULL ids explicitly
+    assert man["rows_deleted"] == 1
+    left = spark.read.parquet(path).toPandas()
+    assert len(left) == 4
+    assert left["doc_id"].isna().sum() == 2
+    assert set(left["text"]) == {"a", "keep me", "me too", "c"}
+
+
+def test_delete_ids_raises_on_missing_column(spark, tmp_path):
+    path = str(tmp_path / "no_such_col")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="no data file"):
+        cpa.delete_ids(spark, path, "document_id", [1])

@@ -171,3 +171,21 @@ def test_robots_filter_keeps_caller_columns_and_rows_once(spark):
     out = rb.robots_filter(docs, rules).collect()
     assert len(out) == 1
     assert out[0]["lang"] == "en" and out[0]["doc_id"] == 1
+
+
+def test_robots_filter_plan_is_map_side(spark):
+    """The payload-bearing doc frame must never shuffle: the rules fold
+    into a broadcast host-grain dim and the winner is computed row-locally
+    — no Exchange, no sort-merge join in the filter's plan."""
+    docs = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URLS)], "doc_id long, url string")
+    rules = rb.parse_robots(_robots_df(spark), AGENT)
+    plan = rb.robots_filter(docs, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # everything before the BroadcastExchange is the docs branch (the
+    # rules-side derivation below it may shuffle its host-grain rows —
+    # that frame is bounded); the payload branch must stay map-only
+    head = plan.split("BroadcastExchange")[0]
+    assert "BroadcastHashJoin" in head
+    assert "SortMergeJoin" not in head
+    assert "Exchange hashpartitioning" not in head
