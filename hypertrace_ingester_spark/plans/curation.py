@@ -2,14 +2,21 @@
 into the standard web-scale assembly pipeline (the documents-table
 counterpart of plans/pipeline.py's span topology):
 
-    [opt-in C4 line cleaning (line keep + page keep, text replaced)]
+    [opt-in URL curation: canonical dedup / blocklist / domain cap]
+    → [opt-in link-graph domain-rank floor] → [opt-in Unicode NFC cleanup]
+    → [opt-in boilerplate heavy-hitter removal (corpus-discovered list)]
+    → [opt-in C4 line cleaning (line keep + page keep, text replaced)]
     → profile (ONE fused text scan) → quality + Gopher filter → PII redaction
+    → [opt-in learned quality classifier + Pareto retention]
     → exact dedup → MinHash near-dup clustering → canonical keep
     → [opt-in exact-substring dedup at word-token grain]
+    → [opt-in persisted corpus-index probe (daily-crawl flow)]
     → [opt-in CCNet perplexity gate (head/middle/tail per language)]
-    → benchmark decontamination → mixture sampling (explicit targets or
-      mT5 temperature-scaled) → train/val/test split
-    → sequence packing (train split)
+    → benchmark decontamination (13-gram) → [opt-in semantic
+      decontamination over an embedding column] → mixture sampling
+      (explicit targets or mT5 temperature-scaled) → train/val/test split
+    → sequence packing (train split) → [opt-in shards / datacard /
+      index append + threshold-gated compaction]
 
 Every stage is the already-verified operator (COVERAGE.md maps each to its
 oracle); this plan contributes the composition, a per-stage manifest
