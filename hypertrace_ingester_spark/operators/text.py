@@ -513,3 +513,70 @@ def perplexity_buckets(
             else bucket.when(cond, F.lit(label))
     bucket = bucket.otherwise(F.lit(labels[-1]))
     return joined.withColumn("ppl_bucket", bucket).drop(*cut_names, "_pb_g")
+
+
+# Unicode script classes as LITERAL character ranges — the same bytes go
+# into the Spark (Java regex) and DuckDB (RE2) patterns, so the oracle
+# evaluates the identical class. Order = deterministic argmax tiebreak.
+SCRIPT_CLASSES = {
+    "arabic": "[؀-ۿݐ-ݿ]",
+    "cjk": "[一-鿿぀-ヿㇰ-ㇿ가-힯]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "latin": "[A-Za-zÀ-ɏ]",
+}
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Unicode SCRIPT detection — the gate that extends the
+    stopword-vote ``language_id`` (Latin-alphabet languages only) to the
+    rest of the web: FineWeb/CCNet-style pipelines drop or reroute pages
+    whose dominant script doesn't match the target corpus before any
+    language-specific stage runs.
+
+    Adds ``n_script_chars`` (chars in ANY known class), one
+    ``frac_<script>`` column per class (fraction of classified chars —
+    digits/punct/space are neutral), ``pred_script`` (argmax,
+    deterministic name-order tiebreak, 'unk' when no classified chars)
+    and ``script_confidence`` (winning fraction).
+
+    Scale shape: one ``regexp_count`` per class fused into the same scan
+    (pure codegen'd column math, zero shuffle — the d_text_profile
+    fusion argument); the ranges are literal characters so a DuckDB
+    oracle restates every count bit-identically."""
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(cls))
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    out = docs.withColumn("n_script_chars", total.cast("long"))
+    best = None
+    best_name = F.lit("unk")
+    for name in sorted(SCRIPT_CLASSES):
+        c = counts[name]
+        if best is None:
+            best = F.when(c > 0, c).otherwise(F.lit(0))
+            best_name = F.when(c > 0, F.lit(name)).otherwise(F.lit("unk"))
+        else:
+            best_name = F.when(c > best, F.lit(name)).otherwise(best_name)
+            best = F.when(c > best, c).otherwise(best)
+    for name in sorted(SCRIPT_CLASSES):
+        out = out.withColumn(
+            f"frac_{name}",
+            F.when(
+                F.col("n_script_chars") > 0,
+                round_half_up(
+                    counts[name].cast("double")
+                    / F.col("n_script_chars"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out.withColumn("pred_script", best_name).withColumn(
+        "script_confidence",
+        F.when(
+            F.col("n_script_chars") > 0,
+            round_half_up(best.cast("double") / F.col("n_script_chars"), 4),
+        ).otherwise(F.lit(0.0)),
+    )

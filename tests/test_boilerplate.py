@@ -241,3 +241,15 @@ def test_frequent_lines_approx_sketch_agrees_with_exact(spark, tmp_path):
     # the two corpus-wide templates lead the occurrence ranking
     assert set(approx["line_key"][:2]) == {
         "home | about | contact", COOKIE.lower()}
+
+
+def test_boilerplate_filter_empty_list_is_identity(spark, tmp_path):
+    path = _fixture(tmp_path)
+    docs = spark.read.parquet(path)
+    empty = spark.createDataFrame([], "line_key string")
+    out = dedup.boilerplate_filter(docs, empty).toPandas()
+    src = pd.read_parquet(path)
+    merged = out.merge(src, on="doc_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(src)
+    assert (merged["text_got"] == merged["text_want"]).all()
+    assert (out["n_lines_dropped"] == 0).all()
