@@ -733,6 +733,29 @@ _PII_IP = txt.PII_PATTERNS["ip"]
 _PII_PHONE = txt.PII_PATTERNS["phone"]
 
 
+def _script_sql_cols() -> str:
+    """The script_profile gate columns as oracle SQL — generated from the
+    SAME SCRIPT_CLASSES dict the Spark operator uses, so the two engines
+    cannot drift (mirrors tests/test_script_profile.py's builder)."""
+    cnt = {
+        name: f"len(regexp_extract_all(text, '{cls}'))"
+        for name, cls in txt.SCRIPT_CLASSES.items()
+    }
+    total = " + ".join(cnt.values())
+    names = sorted(txt.SCRIPT_CLASSES)
+    best = f"CASE WHEN {cnt[names[0]]} > 0 THEN {cnt[names[0]]} ELSE 0 END"
+    pred = f"CASE WHEN {cnt[names[0]]} > 0 THEN '{names[0]}' ELSE 'unk' END"
+    for n in names[1:]:
+        pred = f"CASE WHEN {cnt[n]} > ({best}) THEN '{n}' ELSE ({pred}) END"
+        best = f"CASE WHEN {cnt[n]} > ({best}) THEN {cnt[n]} ELSE ({best}) END"
+    return (
+        f"CAST({total} AS BIGINT) AS n_script_chars, {pred} AS pred_script, "
+        f"CASE WHEN ({total}) > 0 THEN floor(({best}) * 1.0 / ({total}) "
+        f"* 10000 + 0.5) / 10000 ELSE 0.0 END AS script_confidence"
+    )
+
+
+
 @register(
     "d_text_profile",
     rf"""
@@ -780,7 +803,8 @@ _PII_PHONE = txt.PII_PATTERNS["phone"]
            md5(regexp_replace(regexp_replace(regexp_replace(text,
                '{_PII_EMAIL}', '<EMAIL>', 'g'),
                '{_PII_IP}', '<IP>', 'g'),
-               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp,
+           {_script_sql_cols()}
     FROM scored
     )
     """,
@@ -813,7 +837,7 @@ def d_text_profile(spark, sf_dir):
     from .sources import widen
 
     docs = webx.roundtrip_documents(widen(load_table(spark, sf_dir, "documents")))
-    df = txt.text_profile(docs)
+    df = txt.script_profile(txt.text_profile(docs))
     return df.select(
         "doc_id",
         "lang",
@@ -835,6 +859,9 @@ def d_text_profile(spark, sf_dir):
         F.col("n_phone").cast("long").alias("n_phone"),
         "pii_free",
         F.md5(F.col("text_redacted")).alias("redacted_fp"),
+        "n_script_chars",
+        "pred_script",
+        "script_confidence",
     )
 
 
