@@ -98,6 +98,11 @@ class CurationConfig:
     boilerplate_min_doc_frac: float | None = None
     boilerplate_top_k: int = 10_000
     boilerplate_sample_frac: float | None = None
+    # opt-in script gate (text.script_profile): keep only docs whose
+    # dominant Unicode script is in this set (e.g. ("latin",)); docs with
+    # NO classified script chars ('unk') are kept only if 'unk' is listed.
+    # Map-side, runs with the other pre-profile filters.
+    allowed_scripts: tuple[str, ...] | None = None
     gopher_filter: bool = True
     quality_filter: bool = True
     redact_pii: bool = True
@@ -420,6 +425,14 @@ def run_curation(
             *base_cols, F.col("text_c4").alias("text")
         )
         record("c4_cleaned", _tokens(docs))
+
+    # 0e) opt-in Unicode script gate — map-side, before the profile scan
+    if cfg.allowed_scripts:
+        scripted = tx.script_profile(docs)
+        docs = scripted.where(
+            F.col("pred_script").isin(*cfg.allowed_scripts)
+        ).select(*docs.columns)
+        record("script_gated", _tokens(docs))
 
     # 1) fused profile scan + map-side filters
     prof = tx.text_profile(docs)

@@ -110,3 +110,24 @@ def test_script_profile_pinned_cases(spark, tmp_path):
     # the word-soup base docs stay latin-dominant
     latin_docs = got[got["doc_id"] < base]
     assert (latin_docs["pred_script"] == "latin").mean() > 0.9
+
+
+def test_curation_script_gate(spark):
+    from hypertrace_ingester_spark.plans import curation as cur
+
+    rows = (
+        [(i, " ".join(f"latin{i}w{j}" for j in range(12))) for i in range(20)]
+        + [(100 + i, " ".join([CYR] * 10)) for i in range(5)]
+        + [(200, "1234 ... !!!")]   # 'unk': no classified script chars
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = cur.CurationConfig(
+        allowed_scripts=("latin",),
+        gopher_filter=False, quality_filter=False, redact_pii=False,
+        near_dup=False,
+    )
+    curated, manifest = cur.run_curation(spark, docs, config=cfg)
+    assert "script_gated" in manifest["stages"]
+    assert manifest["stages"]["script_gated"]["rows"] == 20
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert ids == set(range(20))
