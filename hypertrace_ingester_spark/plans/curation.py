@@ -123,6 +123,12 @@ class CurationConfig:
     # Runs AFTER doc-level near-dup so the gram stream sees the smallest
     # corpus; docs cut to zero tokens vanish.
     exact_substr_length: int | None = None
+    # opt-in corpus-wide LINE-level dedup (dedup.line_dedup — the C4
+    # "discard repeated spans" recipe at line grain): a line survives only
+    # at its first corpus occurrence, docs are rebuilt from surviving
+    # lines, fully-duplicate docs vanish. Runs AFTER doc-level dedup (the
+    # cheap hash passes first), before the substring stage.
+    line_dedup: bool = False
     decontaminate_k: int = 13
     # opt-in SEMANTIC decontamination (similarity.semantic_decontaminate):
     # when the docs frame carries an embedding column and run_curation is
@@ -480,6 +486,17 @@ def run_curation(
     else:
         deduped = exact
     record("near_dedup", deduped)
+
+    # 3a2) opt-in corpus line-level dedup (C4 recipe): rebuild docs from
+    # first-occurrence lines; line_dedup emits only (doc_id, text, stats),
+    # so the caller's other columns rejoin on doc_id; n_tokens recomputed
+    if cfg.line_dedup:
+        others = deduped.drop("text", "n_tokens")
+        rebuilt = dd.line_dedup(deduped).drop(
+            "n_lines_kept", "n_lines_dropped"
+        )
+        deduped = _tokens(rebuilt.join(others, "doc_id"))
+        record("line_dedup", deduped)
 
     # 3b) opt-in exact-substring dedup at word-token grain
     if cfg.exact_substr_length:

@@ -94,3 +94,26 @@ def test_line_dedup_drops_fully_duplicate_doc(spark):
     assert out[0]["n_lines_dropped"] == 0
     assert out[1]["text"] == "unique two"
     assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 1
+
+
+def test_curation_line_dedup_stage(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hypertrace_ingester_spark.plans import curation as cur
+
+    path = _multiline_fixture(tmp_path)
+    docs = spark.read.parquet(path).withColumn("source", F.lit("web"))
+    cfg = cur.CurationConfig(
+        line_dedup=True,
+        gopher_filter=False, quality_filter=False, redact_pii=False,
+        near_dup=False,
+    )
+    curated, manifest = cur.run_curation(spark, docs, config=cfg)
+    st = manifest["stages"]
+    assert "line_dedup" in st
+    assert st["line_dedup"]["tokens"] < st["exact_dedup"]["tokens"]
+    rows = curated.select("doc_id", "text", "source").collect()
+    assert rows and all(r["source"] == "web" for r in rows)
+    # the boilerplate line survives exactly once corpus-wide
+    n_boiler = sum(r["text"].split("\n").count(BOILER) for r in rows)
+    assert n_boiler == 1
