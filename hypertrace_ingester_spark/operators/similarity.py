@@ -729,3 +729,173 @@ def semantic_decontaminate(
         )
         .withColumn("contaminated", F.col("n_eval_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011) — the memory half of the
+# classic IVF-PQ ANN stack. IVF bounds how much of the corpus a query
+# touches; PQ bounds how many BYTES each touched vector costs: an m-byte
+# code replaces dim×4 float bytes (m=8, dim=64 → 32× smaller), and queries
+# scan codes with an asymmetric-distance lookup table instead of float
+# math. At 100 TB of embeddings this is the difference between inverted
+# lists that fit in executor memory and ones that do not.
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 256,
+    sample_size: int = KMEANS_SAMPLE,
+    iters: int = KMEANS_ITERS,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks, shape ``(m, k, dim // m)``.
+
+    Same bounded-driver-sample shape as :func:`fit_centroids` (seeded
+    sample + seeded init ⇒ deterministic given the corpus; cost is
+    O(sample × k × iters) per subspace, corpus-size-independent).
+    ``normalize=True`` fits on unit vectors so ADC L2 ranking matches
+    cosine ranking (‖a−b‖² = 2−2cos on unit vectors)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    n = corpus.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    pdf = (
+        corpus.select(vec_col).sample(fraction=frac, seed=SEED)
+        .limit(sample_size).toPandas()
+    )
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    if normalize:
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k_eff = min(k, len(x))
+    books = np.zeros((m, k, dsub))
+    rng = np.random.RandomState(SEED + 3)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, :k_eff] = cents
+        if k_eff < k:  # duplicate-pad so code values stay < k
+            books[j, k_eff:] = cents[0]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id, codes array<smallint>)`` where
+    ``codes[j]`` is the nearest codebook entry of subspace ``j``.
+
+    One pass-through ``mapInPandas`` (Arrow-batched numpy argmin per
+    subspace, codebooks in the task closure — no join, no shuffle); the
+    payload REPLACEMENT is the point: downstream frames carry m small
+    ints instead of the float vector."""
+    m, k, dsub = codebooks.shape
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                    axis=2)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encoder, schema=f"{id_col} bigint, codes array<smallint>"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: for each query, the k
+    codes with the smallest ADC distance ``Σ_j LUT[j][code_j]`` where
+    ``LUT[j][c] = ‖q_sub_j − codebook[j][c]‖²``.
+
+    Scale shape: queries are bounded and travel in the task closure with
+    their per-query LUTs (``m × k`` doubles each — the whole point of
+    ADC: the scan does TABLE LOOKUPS, no float vector math per corpus
+    row); each Arrow batch emits only its per-query top-k candidates, so
+    the final exchange carries ``≤ k × queries × partitions`` narrow
+    rows into one global window. Output: (query_id, vec_id, rank,
+    adc_dist) — deterministic (distance, id) tie-break."""
+    from pyspark.sql import Window
+
+    m, kk, dsub = codebooks.shape
+    qpdf = queries.select(
+        F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
+    ).toPandas()
+    q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    if normalize:
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    luts = np.empty((len(q), m, kk))
+    for j in range(m):
+        qs = q[:, j * dsub:(j + 1) * dsub]
+        luts[:, j, :] = (
+            (qs[:, None, :] - codebooks[j][None, :, :]) ** 2
+        ).sum(axis=2)
+    qids = qpdf["qid"].to_numpy()
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            dist = np.zeros((len(qids), len(codes)))
+            for j in range(m):
+                dist += luts[:, j, :][:, codes[:, j]]
+            ids = pdf[id_col].to_numpy()
+            take = min(k, len(codes))
+            # batch-local prune: top-k per query before anything shuffles
+            part = np.argpartition(dist, take - 1, axis=1)[:, :take]
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qids)):
+                sel = part[qi]
+                out_q.extend([qids[qi]] * len(sel))
+                out_i.extend(ids[sel])
+                out_d.extend(dist[qi, sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_i, "adc_dist": out_d}
+            )
+
+    cand = codes_df.select(id_col, "codes").mapInPandas(
+        scan, schema=f"query_id bigint, {id_col} bigint, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

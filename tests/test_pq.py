@@ -1,0 +1,142 @@
+"""Product quantization (fit → encode → ADC top-k) — verified by exact
+agreement with a pure-numpy PQ reference (the BM25-oracle pattern), a
+reconstruction-exact law (vectors built FROM codebook entries rank
+identically to brute force), and a measured recall floor on the shared
+embeddings table."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hypertrace_ingester_spark.operators import similarity as sim
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata dir {SF_DIR} missing"
+)
+
+
+def _corpus(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def _dim(spark):
+    row = _corpus(spark).select("embedding").first()
+    return len(row[0])
+
+
+# --- pure-numpy reference ----------------------------------------------------
+
+def _py_encode(x, books):
+    m, k, dsub = books.shape
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    codes = np.empty((len(x), m), dtype=np.int64)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def _py_topk(codes, ids, q, books, k):
+    m, kk, dsub = books.shape
+    q = q / np.maximum(np.linalg.norm(q), 1e-12)
+    lut = np.empty((m, kk))
+    for j in range(m):
+        qs = q[j * dsub:(j + 1) * dsub]
+        lut[j] = ((qs[None, :] - books[j]) ** 2).sum(axis=1)
+    dist = np.zeros(len(codes))
+    for j in range(m):
+        dist += lut[j][codes[:, j]]
+    order = sorted(range(len(ids)), key=lambda i: (dist[i], ids[i]))
+    return [(int(ids[i]), float(dist[i])) for i in order[:k]]
+
+
+def test_pq_encode_and_topk_match_numpy_reference(spark):
+    corpus = _corpus(spark)
+    dim = _dim(spark)
+    books = sim.fit_pq_codebooks(corpus, dim, m=8, k=16)
+    assert books.shape == (8, 16, dim // 8)
+    # deterministic fit
+    again = sim.fit_pq_codebooks(corpus, dim, m=8, k=16)
+    assert np.array_equal(books, again)
+
+    pdf = corpus.toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    want_codes = _py_encode(x, books)
+
+    got = sim.pq_encode(corpus, books).toPandas().set_index("vec_id")
+    for i, vid in enumerate(ids):
+        assert list(got.loc[vid, "codes"]) == list(want_codes[i]), vid
+
+    queries = corpus.where("vec_id % 37 = 0").limit(5)
+    got_topk = (
+        sim.pq_topk(sim.pq_encode(corpus, books), queries, books, k=7)
+        .orderBy("query_id", "rank").collect()
+    )
+    qpdf = queries.toPandas()
+    for qid, qv in zip(qpdf["vec_id"], qpdf["embedding"]):
+        want = _py_topk(want_codes, ids, np.asarray(qv, float), books, 7)
+        have = [(r["vec_id"], r["adc_dist"]) for r in got_topk
+                if r["query_id"] == qid]
+        assert [h[0] for h in have] == [w[0] for w in want], qid
+        assert np.allclose([h[1] for h in have], [w[1] for w in want])
+
+
+def test_pq_reconstruction_exact_ranks_like_brute_force(spark):
+    # corpus vectors assembled FROM codebook entries: encoding is lossless,
+    # so ADC distance equals the true distance and top-1 is the true
+    # nearest neighbor for every query
+    rng = np.random.RandomState(5)
+    m, k, dsub = 4, 8, 3
+    books = rng.randn(m, k, dsub)
+    rows = []
+    for i in range(60):
+        picks = [(i + j * 7) % k for j in range(m)]
+        v = np.concatenate([books[j][picks[j]] for j in range(m)])
+        rows.append((i, [float(t) for t in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # normalize=False: vectors are raw codebook concatenations
+    codes = sim.pq_encode(corpus, books, normalize=False)
+    queries = corpus.where("vec_id < 5")
+    got = (
+        sim.pq_topk(codes, queries, books, k=1, normalize=False)
+        .orderBy("query_id").collect()
+    )
+    for r in got:
+        assert r["vec_id"] == r["query_id"]       # self is its own NN
+        assert abs(r["adc_dist"]) < 1e-18         # lossless: distance 0
+
+
+def test_pq_recall_beats_random_and_code_width(spark):
+    corpus = _corpus(spark)
+    dim = _dim(spark)
+    n = corpus.count()
+    books = sim.fit_pq_codebooks(corpus, dim, m=8, k=16)
+    codes = sim.pq_encode(corpus, books)
+    # the code row is m smallint entries vs dim floats
+    row = codes.first()
+    assert len(row["codes"]) == 8
+
+    queries = corpus.where("vec_id % 29 = 0").limit(10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = (
+        sim.pq_topk(codes, queries, books, k=6).collect()
+    )
+    # drop self-matches (cosine_topk excludes them; ADC rank-1 is self)
+    hits = sum(
+        1 for r in approx
+        if (r["query_id"], r["vec_id"]) in exact
+    )
+    recall = hits / len(exact)
+    # near-uniform vectors are PQ's hardest regime; the floor just needs
+    # to beat random chance clearly (random recall ≈ k²/n ≈ 0.05 here;
+    # measured 0.24 with m=8, k=16 — ~5× random at 32× compression)
+    assert recall > 0.15, recall
+    assert recall > 3 * (25 / n)
