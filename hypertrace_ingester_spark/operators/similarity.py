@@ -899,3 +899,143 @@ def pq_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    dim: int,
+    codebooks: np.ndarray,
+    n_cells: int = IVF_CELLS,
+    corpus_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ corpus representation in ONE pass-through ``mapInPandas``:
+    each vector's ``corpus_probe`` coarse cells AND its m-byte PQ code
+    from the same Arrow batch — ``(id, cell, codes)``, the float vector
+    never leaves the encoder. This is the frame a 100 TB deployment
+    writes bucketed by ``cell``: inverted lists of m-smallint codes."""
+    m, kk, dsub = codebooks.shape
+    cents = _centroids(dim, n_cells) if centroids is None else centroids
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = xn @ cn.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :corpus_probe]
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                sub = xn[:, j * dsub:(j + 1) * dsub]
+                d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                    axis=2)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), corpus_probe),
+                    "cell": order.reshape(-1),
+                    "codes": list(np.repeat(codes, corpus_probe, axis=0)),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} bigint, cell bigint, codes array<smallint>"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    corpus_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """The full IVF-PQ ANN query: probe ``nprobe`` coarse cells, ADC-scan
+    only those cells' m-byte codes. The two classic bounds compose —
+    IVF bounds the FRACTION of the corpus touched (nprobe / n_cells), PQ
+    bounds the BYTES per touched row (m smallints) — so the cell join
+    shuffles narrow code rows, never float vectors, and the scan does
+    lookup-table adds only. Self-matches excluded; deterministic
+    (distance, id) tie-break; multiple-assignment duplicates collapse to
+    the min distance. Pass ``encoded=ivfpq_encode(...)`` to reuse a
+    persisted (bucketed-by-cell) corpus encoding across query batches."""
+    from pyspark.sql import Window
+
+    m, kk, dsub = codebooks.shape
+    if encoded is None:
+        encoded = ivfpq_encode(
+            corpus, dim, codebooks, n_cells, corpus_probe,
+            id_col, vec_col, centroids)
+    q_cells = ivf_assign(
+        queries, dim, n_cells, nprobe, id_col, vec_col, centroids
+    ).select(F.col(id_col).alias("query_id"), "cell")
+
+    qpdf = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    qv = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    luts = {}
+    for qid, v in zip(qpdf["qid"], qv):
+        lut = np.empty((m, kk))
+        for j in range(m):
+            qs = v[j * dsub:(j + 1) * dsub]
+            lut[j] = ((qs[None, :] - codebooks[j]) ** 2).sum(axis=1)
+        luts[int(qid)] = lut
+
+    joined = encoded.join(q_cells, "cell").where(
+        F.col(id_col) != F.col("query_id")
+    ).select("query_id", id_col, "codes")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for qid, grp in pdf.groupby("query_id"):
+                # multiple assignment surfaces a (query, neighbor) pair
+                # once per shared cell with the SAME distance — dedupe
+                # before the batch-local prune or duplicates occupy
+                # top-k slots and crowd out distinct candidates
+                grp = grp.drop_duplicates(subset=[id_col])
+                lut = luts[int(qid)]
+                codes = np.stack(grp["codes"].to_numpy()).astype(np.int64)
+                dist = np.zeros(len(codes))
+                for j in range(m):
+                    dist += lut[j][codes[:, j]]
+                take = min(k, len(codes))
+                sel = np.argpartition(dist, take - 1)[:take]
+                ids = grp[id_col].to_numpy()
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    id_col: ids[sel],
+                    "adc_dist": dist[sel],
+                }))
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], id_col: [], "adc_dist": []})
+
+    cand = joined.mapInPandas(
+        scan, schema=f"query_id bigint, {id_col} bigint, adc_dist double"
+    )
+    # multiple assignment can surface a pair once per shared cell
+    best = cand.groupBy("query_id", id_col).agg(
+        F.min("adc_dist").alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc(id_col))
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

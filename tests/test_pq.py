@@ -140,3 +140,72 @@ def test_pq_recall_beats_random_and_code_width(spark):
     # measured 0.24 with m=8, k=16 — ~5× random at 32× compression)
     assert recall > 0.15, recall
     assert recall > 3 * (25 / n)
+
+
+def _py_ivfpq(x, ids, centroids, books, qid, qv, nprobe, corpus_probe, k):
+    # pure-python IVF-PQ reference: cells by cosine, ADC inside probed cells
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cell_order = np.argsort(-(xn @ cn.T), axis=1, kind="stable")
+    member_cells = {int(i): set(cell_order[r, :corpus_probe])
+                    for r, i in enumerate(ids)}
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = set(np.argsort(-(qn @ cn.T), kind="stable")[:nprobe])
+    codes = _py_encode(x, books)
+    m, kk, dsub = books.shape
+    lut = np.empty((m, kk))
+    for j in range(m):
+        qs = qn[j * dsub:(j + 1) * dsub]
+        lut[j] = ((qs[None, :] - books[j]) ** 2).sum(axis=1)
+    cand = []
+    for r, i in enumerate(ids):
+        if int(i) == int(qid) or not (member_cells[int(i)] & probe):
+            continue
+        d = sum(lut[j][codes[r, j]] for j in range(m))
+        cand.append((float(d), int(i)))
+    cand.sort()
+    return [(i, d) for d, i in cand[:k]]
+
+
+def test_ivfpq_matches_python_reference(spark):
+    corpus = _corpus(spark)
+    dim = _dim(spark)
+    books = sim.fit_pq_codebooks(corpus, dim, m=8, k=16)
+    cents = sim.fit_centroids(corpus, dim, n_cells=8)
+    queries = corpus.where("vec_id % 41 = 0").limit(4)
+
+    got = (
+        sim.ivfpq_topk(corpus, queries, dim, books, k=5, n_cells=8,
+                       nprobe=3, corpus_probe=2, centroids=cents)
+        .orderBy("query_id", "rank").collect()
+    )
+    pdf = corpus.toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    qpdf = queries.toPandas()
+    for qid, qv in zip(qpdf["vec_id"], qpdf["embedding"]):
+        want = _py_ivfpq(x, ids, cents, books, qid,
+                         np.asarray(qv, float), 3, 2, 5)
+        have = [(r["vec_id"], r["adc_dist"]) for r in got
+                if r["query_id"] == qid]
+        assert [h[0] for h in have] == [w[0] for w in want], qid
+        assert np.allclose([h[1] for h in have], [w[1] for w in want])
+
+
+def test_ivfpq_encoded_frame_is_narrow_and_reusable(spark):
+    corpus = _corpus(spark)
+    dim = _dim(spark)
+    books = sim.fit_pq_codebooks(corpus, dim, m=8, k=16)
+    cents = sim.fit_centroids(corpus, dim, n_cells=8)
+    enc = sim.ivfpq_encode(corpus, dim, books, n_cells=8,
+                           corpus_probe=2, centroids=cents)
+    assert set(enc.columns) == {"vec_id", "cell", "codes"}  # no vector
+    assert enc.count() == 2 * corpus.count()                # 2 cells each
+    queries = corpus.where("vec_id % 41 = 0").limit(4)
+    a = sim.ivfpq_topk(corpus, queries, dim, books, k=5, n_cells=8,
+                       nprobe=3, corpus_probe=2, centroids=cents).collect()
+    b = sim.ivfpq_topk(corpus, queries, dim, books, k=5, n_cells=8,
+                       nprobe=3, centroids=cents,
+                       encoded=enc.localCheckpoint()).collect()
+    assert sorted((r["query_id"], r["vec_id"], r["rank"]) for r in a) == \
+        sorted((r["query_id"], r["vec_id"], r["rank"]) for r in b)
