@@ -742,6 +742,15 @@ def semantic_decontaminate(
 # ---------------------------------------------------------------------------
 
 
+def _sub_argmin(sub: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_c ||sub - cents[c]||^2 via the matmul expansion
+    (-2 a.b + ||b||^2; ||a||^2 is constant per row) — O(n*k) memory
+    instead of the (n, k, dsub) broadcast temporary, which at dim=768 /
+    k=256 / 64k samples would materialize ~13 GB (review find)."""
+    scores = -2.0 * (sub @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    return np.argmin(scores, axis=1)
+
+
 def fit_pq_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -778,8 +787,7 @@ def fit_pq_codebooks(
         sub = x[:, j * dsub:(j + 1) * dsub]
         cents = sub[rng.choice(len(sub), k_eff, replace=False)].copy()
         for _ in range(iters):
-            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d, axis=1)
+            assign = _sub_argmin(sub, cents)
             for c in range(k_eff):
                 members = sub[assign == c]
                 if len(members):
@@ -817,9 +825,7 @@ def pq_encode(
             codes = np.empty((len(x), m), dtype=np.int16)
             for j in range(m):
                 sub = x[:, j * dsub:(j + 1) * dsub]
-                d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
-                    axis=2)
-                codes[:, j] = np.argmin(d, axis=1)
+                codes[:, j] = _sub_argmin(sub, codebooks[j])
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
@@ -856,6 +862,10 @@ def pq_topk(
     qpdf = queries.select(
         F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
     ).toPandas()
+    if len(qpdf) == 0:
+        return codes_df.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, adc_dist double, rank int"
+        )
     q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     if normalize:
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -877,11 +887,14 @@ def pq_topk(
                 dist += luts[:, j, :][:, codes[:, j]]
             ids = pdf[id_col].to_numpy()
             take = min(k, len(codes))
-            # batch-local prune: top-k per query before anything shuffles
-            part = np.argpartition(dist, take - 1, axis=1)[:, :take]
             out_q, out_i, out_d = [], [], []
             for qi in range(len(qids)):
-                sel = part[qi]
+                # batch-local prune under the SAME (dist, id) total order
+                # as the global window — a distance-only argpartition
+                # could drop the lower-ID member of a tied pair at the
+                # boundary, making results layout-dependent (review find;
+                # ties are guaranteed: identical PQ codes -> identical ADC)
+                sel = np.lexsort((ids, dist[qi]))[:take]
                 out_q.extend([qids[qi]] * len(sel))
                 out_i.extend(ids[sel])
                 out_d.extend(dist[qi, sel])
@@ -918,8 +931,11 @@ def ivfpq_encode(
     writes bucketed by ``cell``: inverted lists of m-smallint codes."""
     m, kk, dsub = codebooks.shape
     cents = _centroids(dim, n_cells) if centroids is None else centroids
-    cn = cents / np.maximum(
-        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    # NO extra normalization here: cells must rank exactly as ivf_assign
+    # ranks them for the query side (xn @ cents.T on the centroids AS
+    # GIVEN), or a non-unit custom centroid set would silently put corpus
+    # vectors and query probes in different geometries (review find);
+    # fit_centroids/_centroids both return unit-norm centroids.
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -928,14 +944,12 @@ def ivfpq_encode(
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             xn = x / np.maximum(
                 np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sims = xn @ cn.T
+            sims = xn @ cents.T
             order = np.argsort(-sims, axis=1, kind="stable")[:, :corpus_probe]
             codes = np.empty((len(x), m), dtype=np.int16)
             for j in range(m):
                 sub = xn[:, j * dsub:(j + 1) * dsub]
-                d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
-                    axis=2)
-                codes[:, j] = np.argmin(d, axis=1)
+                codes[:, j] = _sub_argmin(sub, codebooks[j])
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy(), corpus_probe),
@@ -986,6 +1000,10 @@ def ivfpq_topk(
     qpdf = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).toPandas()
+    if len(qpdf) == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, adc_dist double, rank int"
+        )
     qv = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
     luts = {}
@@ -1017,8 +1035,9 @@ def ivfpq_topk(
                 for j in range(m):
                     dist += lut[j][codes[:, j]]
                 take = min(k, len(codes))
-                sel = np.argpartition(dist, take - 1)[:take]
                 ids = grp[id_col].to_numpy()
+                # (dist, id) total order — see pq_topk's prune comment
+                sel = np.lexsort((ids, dist))[:take]
                 out.append(pd.DataFrame({
                     "query_id": qid,
                     id_col: ids[sel],

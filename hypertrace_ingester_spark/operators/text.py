@@ -553,16 +553,14 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for c in counts.values():
         total = c if total is None else total + c
     out = docs.withColumn("n_script_chars", total.cast("long"))
-    best = None
-    best_name = F.lit("unk")
-    for name in sorted(SCRIPT_CLASSES):
+    names = sorted(SCRIPT_CLASSES)
+    first = counts[names[0]]
+    best = F.when(first > 0, first).otherwise(F.lit(0))
+    best_name = F.when(first > 0, F.lit(names[0])).otherwise(F.lit("unk"))
+    for name in names[1:]:
         c = counts[name]
-        if best is None:
-            best = F.when(c > 0, c).otherwise(F.lit(0))
-            best_name = F.when(c > 0, F.lit(name)).otherwise(F.lit("unk"))
-        else:
-            best_name = F.when(c > best, F.lit(name)).otherwise(best_name)
-            best = F.when(c > best, c).otherwise(best)
+        best_name = F.when(c > best, F.lit(name)).otherwise(best_name)
+        best = F.when(c > best, c).otherwise(best)
     for name in sorted(SCRIPT_CLASSES):
         out = out.withColumn(
             f"frac_{name}",

@@ -748,10 +748,13 @@ def _script_sql_cols() -> str:
     for n in names[1:]:
         pred = f"CASE WHEN {cnt[n]} > ({best}) THEN '{n}' ELSE ({pred}) END"
         best = f"CASE WHEN {cnt[n]} > ({best}) THEN {cnt[n]} ELSE ({best}) END"
+    from .functions.numeric import sql_round_half_up
+
+    conf = sql_round_half_up(f"({best}) * 1.0 / ({total})", 4)
     return (
         f"CAST({total} AS BIGINT) AS n_script_chars, {pred} AS pred_script, "
-        f"CASE WHEN ({total}) > 0 THEN floor(({best}) * 1.0 / ({total}) "
-        f"* 10000 + 0.5) / 10000 ELSE 0.0 END AS script_confidence"
+        f"CASE WHEN ({total}) > 0 THEN {conf} ELSE 0.0 END "
+        f"AS script_confidence"
     )
 
 
