@@ -270,9 +270,7 @@ def tail_sample(
     100 TB the decision frame is ~trace-count rows (two orders smaller
     than spans) and never carries span payload.
     """
-    has_error = F.max(
-        ((F.col("error_count") > 0) | (F.col("status_code") >= 500)).cast("int")
-    ) == 1
+    has_error = F.max(span_has_error().cast("int")) == 1
     agg = spans.groupBy("tenant_id", trace_col).agg(
         has_error.alias("_has_error"),
         (F.max("end_ms") - F.min("start_ms")).alias("_e2e_ms"),
@@ -287,6 +285,17 @@ def tail_sample(
         ).where(F.col("sample_reason").isNotNull())
     )
     return spans.join(decisions, ["tenant_id", trace_col])
+
+
+def span_has_error():
+    """The single definition of "this span errored" used by BOTH tail
+    sampling faces (batch :func:`tail_sample` and
+    ``streaming.streaming_tail_decisions``): errored if the span recorded
+    any error events (``error_count > 0``) or returned a 5xx status.
+    Hoisted here (review find) so the error semantics cannot drift between
+    batch and stream the way the policy ladder (:func:`tail_decision`)
+    already guards against."""
+    return (F.col("error_count") > 0) | (F.col("status_code") >= 500)
 
 
 def tail_decision(

@@ -339,7 +339,12 @@ def remove_docs(
             before = _dir_rows(tpath)
             src = bucketing.ensure_bucketed_table(
                 spark, table, tpath, ddl, cols, n_buckets
-            ).filter(~F.col("doc_id").isin(ids))
+            ).filter(
+                # three-valued NOT IN is NULL for NULL doc_ids — keep
+                # NULL-keyed rows explicitly (a takedown must never delete
+                # un-requested rows; matches delete_ids)
+                F.col("doc_id").isNull() | ~F.col("doc_id").isin(ids)
+            )
             tmp_path = cpa._hidden_sibling(tpath, "remove-tmp")
             tmp_table = f"{table}_remove_tmp"
             if os.path.exists(tmp_path):

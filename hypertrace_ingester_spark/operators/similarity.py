@@ -686,6 +686,18 @@ def semantic_decontaminate(
     the same aggregate. Eval ids must be numeric (the min-id tie-break
     negates them inside a max(struct) — one aggregate, no second join).
     """
+    from pyspark.sql.types import NumericType
+
+    eid_type = eval_vectors.schema[eval_id_col].dataType
+    if not isinstance(eid_type, NumericType):
+        # cast('long') on a non-numeric id silently yields NULL and the
+        # max(struct(cos, -_eid)) tie-break would compare null fields —
+        # fail loudly instead (docstring states the numeric requirement)
+        raise TypeError(
+            f"semantic_decontaminate: eval id column {eval_id_col!r} must "
+            f"be numeric (got {eid_type.simpleString()}) — the min-id "
+            "tie-break negates it inside max(struct)"
+        )
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_e"),
@@ -835,6 +847,28 @@ def pq_encode(
     )
 
 
+PQ_MAX_QUERIES = 100_000
+
+
+def _bounded_query_pdf(queries: DataFrame, id_expr, vec_expr,
+                       max_rows: int = PQ_MAX_QUERIES):
+    """Collect the QUERY side of an ADC scan to the driver, enforcing the
+    documented bounded-queries assumption (review find: an unguarded
+    ``toPandas()`` on a corpus-sized frame OOMs the driver silently).
+    Pulls ``max_rows + 1`` rows so the overflow check is one cheap limit,
+    not a full count; raises instead of truncating — silently dropping
+    queries would return wrong top-k sets."""
+    pdf = queries.select(id_expr, vec_expr).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"ADC top-k requires a bounded queries frame (> {max_rows} "
+            "rows seen) — batch the queries, or route a corpus-scale "
+            "side through ivf_assign/knn blocking instead of the "
+            "driver-side LUT path"
+        )
+    return pdf
+
+
 def pq_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -859,9 +893,9 @@ def pq_topk(
     from pyspark.sql import Window
 
     m, kk, dsub = codebooks.shape
-    qpdf = queries.select(
-        F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
-    ).toPandas()
+    qpdf = _bounded_query_pdf(
+        queries, F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
+    )
     if len(qpdf) == 0:
         return codes_df.sparkSession.createDataFrame(
             [], f"query_id bigint, {id_col} bigint, adc_dist double, rank int"
@@ -997,9 +1031,9 @@ def ivfpq_topk(
         queries, dim, n_cells, nprobe, id_col, vec_col, centroids
     ).select(F.col(id_col).alias("query_id"), "cell")
 
-    qpdf = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).toPandas()
+    qpdf = _bounded_query_pdf(
+        queries, F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
     if len(qpdf) == 0:
         return corpus.sparkSession.createDataFrame(
             [], f"query_id bigint, {id_col} bigint, adc_dist double, rank int"

@@ -69,9 +69,19 @@ def parse_robots(
     Scale shape: one explode over robots bodies (host-grain input, tiny
     next to the page corpus), two window passes partitioned by host, one
     aggregate per (host, group); output is rules-per-host bounded."""
+    # Normalize the host key to the same canonical form robots_filter
+    # derives from URLs (_host_expr: lowercase, port stripped unless a
+    # bracketed IPv6 literal) — a rules table keyed by "Example.COM:8080"
+    # must still match. Split bodies on \r?\n: CRLF-served robots.txt is
+    # the common real-world case and F.trim strips only ASCII spaces, so
+    # a bare "\n" split leaves a trailing \r in every token.
+    raw_host = F.lower(F.col(host_col))
+    norm_host = F.when(
+        raw_host.startswith("["), raw_host
+    ).otherwise(F.split(raw_host, ":").getItem(0))
     lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("idx", "raw"),
+        norm_host.alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("idx", "raw"),
     ).select(
         "host", "idx",
         F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),

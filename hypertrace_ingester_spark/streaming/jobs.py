@@ -273,7 +273,7 @@ def streaming_tail_decisions(
     Scale shape: per-trace state is three scalars inside Spark's session
     -window store, evicted at watermark; the emitted frame is
     trace-grain (orders smaller than spans) and never carries payload."""
-    from ..operators.group import tail_decision
+    from ..operators.group import span_has_error, tail_decision
 
     with_ts = spans.withColumn(
         "_event_ts", F.timestamp_millis(F.col("start_ms"))
@@ -285,15 +285,7 @@ def streaming_tail_decisions(
             F.col(trace_col),
         )
         .agg(
-            (
-                F.max(
-                    (
-                        (F.col("error_count") > 0)
-                        | (F.col("status_code") >= 500)
-                    ).cast("int")
-                )
-                == 1
-            ).alias("_has_error"),
+            (F.max(span_has_error().cast("int")) == 1).alias("_has_error"),
             F.min("start_ms").alias("trace_start_ms"),
             F.max("end_ms").alias("trace_end_ms"),
             F.count(F.lit(1)).alias("n_spans"),

@@ -168,3 +168,24 @@ def test_delete_ids_raises_on_missing_column(spark, tmp_path):
         .write.mode("overwrite").parquet(path)
     with pytest.raises(ValueError, match="no data file"):
         cpa.delete_ids(spark, path, "document_id", [1])
+
+
+def test_remove_docs_never_touches_null_id_rows(spark, tmp_path):
+    """Same three-valued NOT-IN contract as delete_ids, on the index purge
+    path (review find): ~isin(ids) is NULL for NULL doc_ids, and a purge
+    must never delete un-requested rows."""
+    rows = [(i, " ".join(f"n{i}y{j}" for j in range(20))) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    null_doc = spark.createDataFrame(
+        [(None, "null keyed row that must survive the purge")],
+        "doc_id long, text string")
+    idx_path = str(tmp_path / "idx_nulls")
+    inc.build_index(docs.unionByName(null_doc), idx_path,
+                    prefix="nul_idx", n_buckets=2)
+    man = inc.remove_docs(spark, idx_path, [0], prefix="nul_idx")
+    t = man["tables"]
+    # exactly doc 0's rows left each table — the NULL-keyed rows stayed
+    assert t["exact"]["rows_before"] - t["exact"]["rows_after"] == 1
+    idx = inc.load_index(spark, idx_path, prefix="nul_idx")
+    exact = idx["exact"].toPandas()
+    assert exact["doc_id"].isna().sum() >= 1

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from hypertrace_ingester_spark.operators import similarity as sim
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -209,3 +211,22 @@ def test_ivfpq_encoded_frame_is_narrow_and_reusable(spark):
                        encoded=enc.localCheckpoint()).collect()
     assert sorted((r["query_id"], r["vec_id"], r["rank"]) for r in a) == \
         sorted((r["query_id"], r["vec_id"], r["rank"]) for r in b)
+
+
+def test_adc_topk_rejects_unbounded_queries_frame(spark):
+    """The ADC top-k paths toPandas() the QUERY side under a documented
+    bounded-queries assumption; the guard must raise on an oversized
+    frame instead of OOMing the driver (review find). Exercised via the
+    shared helper with a tiny cap so the test stays cheap."""
+    q = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(7)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="bounded queries frame"):
+        sim._bounded_query_pdf(
+            q, F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"), max_rows=5)
+    # within the cap: passes through untruncated
+    pdf = sim._bounded_query_pdf(
+        q, F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"), max_rows=7)
+    assert len(pdf) == 7

@@ -189,3 +189,34 @@ def test_robots_filter_plan_is_map_side(spark):
     assert "BroadcastHashJoin" in head
     assert "SortMergeJoin" not in head
     assert "Exchange hashpartitioning" not in head
+
+
+def test_parse_robots_crlf_and_unnormalized_host(spark):
+    """CRLF-served bodies (the common real-world case) and rules tables
+    keyed by mixed-case host:port values (review finds): a bare '\\n'
+    split leaves a trailing '\\r' in every token, and an unnormalized host
+    key silently matches no URL in robots_filter."""
+    body_lf = BODIES["a.example.com"]
+    body_crlf = body_lf.replace("\n", "\r\n")
+    crlf = spark.createDataFrame(
+        [("A.Example.COM:8080", body_crlf)], "host string, body string")
+    got = rb.parse_robots(crlf, AGENT).toPandas()
+    # host canonicalized to the URL-side form (_host_expr semantics)
+    assert set(got["host"]) == {"a.example.com"}
+    # identical rule set to the LF body under the canonical host
+    lf = rb.parse_robots(_robots_df(spark), AGENT).toPandas()
+    want = sorted(
+        (r["path"], bool(r["allow"]))
+        for _, r in lf[lf["host"] == "a.example.com"].iterrows())
+    have = sorted((r["path"], bool(r["allow"])) for _, r in got.iterrows())
+    assert have == want
+    # and no token carries a stray \r
+    assert not any("\r" in p for p in got["path"])
+    # end-to-end: the CRLF-parsed rules actually enforce Disallow
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/private/doc1"),
+         (2, "https://a.example.com/public/doc3")],
+        "doc_id long, url string")
+    kept = sorted(r["url"] for r in rb.robots_filter(
+        docs, rb.parse_robots(crlf, AGENT)).collect())
+    assert kept == ["https://a.example.com/public/doc3"]

@@ -175,3 +175,15 @@ def test_curation_semantic_decontamination_stage(spark):
     # exact twin under the construction is any i with identical embedding
     twins = {i for i, _, e in rows if e == rows[7][2]}
     assert ids == set(range(30)) - twins
+
+
+def test_semantic_decontaminate_rejects_non_numeric_eval_ids(spark):
+    """cast('long') on a string eval id silently yields NULL (review
+    find) — the operator must raise instead of emitting garbage
+    nearest_eval_id values."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    evals = spark.createDataFrame(
+        [("eval-a", [1.0, 0.0])], "vec_id string, embedding array<double>")
+    with pytest.raises(TypeError, match="must be numeric"):
+        sim.semantic_decontaminate(corpus, evals)
