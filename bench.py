@@ -286,6 +286,18 @@ def main() -> None:
             exact,
         ),
     }
+    # IVF-PQ (driver-gated via s_ann_ivf since round 5): production shape —
+    # k-means codebooks on unit vectors + trained coarse centroids; ADC
+    # quantization error costs recall vs exact-rerank IVF at equal probes
+    books = sim.fit_pq_codebooks(emb, 64, m=8, k=64)
+    ann_recall["ivfpq_trained_p4_m8"] = recall(
+        sim.ivfpq_topk(emb, ann_queries, dim=64, codebooks=books, k=5,
+                       centroids=trained)
+        .withColumnRenamed("vec_id", "neighbor_id"), exact)
+    ann_recall["ivfpq_trained_p4_m8_ma2"] = recall(
+        sim.ivfpq_topk(emb, ann_queries, dim=64, codebooks=books, k=5,
+                       centroids=trained, corpus_probe=2)
+        .withColumnRenamed("vec_id", "neighbor_id"), exact)
 
     result = {
         "metric": "e2e_pipeline_sec",

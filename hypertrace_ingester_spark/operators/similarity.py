@@ -763,6 +763,28 @@ def _sub_argmin(sub: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(scores, axis=1)
 
 
+def _fold_sub_dists(sub: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, dsub) × (k, dsub) squared L2 distances in ORACLE-PARITY form:
+    ``‖a−b‖²`` restated as ``faa − 2.0·fab + fbb`` where each term is a
+    strict index-order fold (see ``_fold_dot_np``) and the three-term
+    combine is left-associative — exactly the expression a SQL oracle
+    states as ``ldp(a,a) - 2.0*ldp(a,b) + ldp(b,b)`` with DuckDB
+    ``list_dot_product``, so distances (and their argmin tie-breaks) are
+    bit-identical in both engines. The default path (``_sub_argmin``)
+    keeps the O(n·k) matmul expansion instead."""
+    n, dsub = sub.shape
+    faa = np.zeros(n)
+    for t in range(dsub):
+        faa += sub[:, t] * sub[:, t]
+    fbb = np.zeros(len(cents))
+    for t in range(dsub):
+        fbb += cents[:, t] * cents[:, t]
+    fab = np.zeros((n, len(cents)))
+    for t in range(dsub):
+        fab += sub[:, t : t + 1] * cents[None, :, t]
+    return faa[:, None] - 2.0 * fab + fbb[None, :]
+
+
 def fit_pq_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -957,16 +979,25 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    normalize: bool = True,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """IVF-PQ corpus representation in ONE pass-through ``mapInPandas``:
     each vector's ``corpus_probe`` coarse cells AND its m-byte PQ code
     from the same Arrow batch — ``(id, cell, codes)``, the float vector
     never leaves the encoder. This is the frame a 100 TB deployment
-    writes bucketed by ``cell``: inverted lists of m-smallint codes."""
+    writes bucketed by ``cell``: inverted lists of m-smallint codes.
+
+    ``normalize=False`` encodes RAW subvectors (L2-on-raw metric);
+    ``exact_fold`` is the oracle-parity knob: cell cosines as
+    dot/(|x|·|c|) strict index-order folds (the arithmetic the SQL
+    oracle states — see ``ivf_assign``) and PQ-code distances in the
+    ``faa − 2·fab + fbb`` fold form of :func:`_fold_sub_dists`."""
     m, kk, dsub = codebooks.shape
     cents = _centroids(dim, n_cells) if centroids is None else centroids
-    # NO extra normalization here: cells must rank exactly as ivf_assign
-    # ranks them for the query side (xn @ cents.T on the centroids AS
+    cnorm = _fold_norm_np(cents) if exact_fold else None
+    # NO extra normalization of the CENTROIDS here: cells must rank
+    # exactly as ivf_assign ranks them for the query side (centroids AS
     # GIVEN), or a non-unit custom centroid set would silently put corpus
     # vectors and query probes in different geometries (review find);
     # fit_centroids/_centroids both return unit-norm centroids.
@@ -976,14 +1007,23 @@ def ivfpq_encode(
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            xn = x / np.maximum(
-                np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sims = xn @ cents.T
+            if exact_fold:
+                vnorm = _fold_norm_np(x)
+                sims = _fold_dot_np(x, cents.T) / (
+                    vnorm[:, None] * cnorm[None, :])
+            else:
+                vnorm = np.linalg.norm(x, axis=1)
+                sims = (x / np.maximum(vnorm[:, None], 1e-12)) @ cents.T
+            xe = (x / np.maximum(vnorm[:, None], 1e-12)) if normalize else x
             order = np.argsort(-sims, axis=1, kind="stable")[:, :corpus_probe]
             codes = np.empty((len(x), m), dtype=np.int16)
             for j in range(m):
-                sub = xn[:, j * dsub:(j + 1) * dsub]
-                codes[:, j] = _sub_argmin(sub, codebooks[j])
+                sub = xe[:, j * dsub:(j + 1) * dsub]
+                if exact_fold:
+                    codes[:, j] = np.argmin(
+                        _fold_sub_dists(sub, codebooks[j]), axis=1)
+                else:
+                    codes[:, j] = _sub_argmin(sub, codebooks[j])
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy(), corpus_probe),
@@ -1010,6 +1050,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     encoded: DataFrame | None = None,
+    normalize: bool = True,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """The full IVF-PQ ANN query: probe ``nprobe`` coarse cells, ADC-scan
     only those cells' m-byte codes. The two classic bounds compose —
@@ -1026,9 +1068,11 @@ def ivfpq_topk(
     if encoded is None:
         encoded = ivfpq_encode(
             corpus, dim, codebooks, n_cells, corpus_probe,
-            id_col, vec_col, centroids)
+            id_col, vec_col, centroids,
+            normalize=normalize, exact_fold=exact_fold)
     q_cells = ivf_assign(
-        queries, dim, n_cells, nprobe, id_col, vec_col, centroids
+        queries, dim, n_cells, nprobe, id_col, vec_col, centroids,
+        exact_fold=exact_fold,
     ).select(F.col(id_col).alias("query_id"), "cell")
 
     qpdf = _bounded_query_pdf(
@@ -1039,13 +1083,19 @@ def ivfpq_topk(
             [], f"query_id bigint, {id_col} bigint, adc_dist double, rank int"
         )
     qv = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
-    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        qn = (_fold_norm_np(qv) if exact_fold
+              else np.linalg.norm(qv, axis=1))
+        qv = qv / np.maximum(qn[:, None], 1e-12)
     luts = {}
     for qid, v in zip(qpdf["qid"], qv):
         lut = np.empty((m, kk))
         for j in range(m):
             qs = v[j * dsub:(j + 1) * dsub]
-            lut[j] = ((qs[None, :] - codebooks[j]) ** 2).sum(axis=1)
+            if exact_fold:
+                lut[j] = _fold_sub_dists(qs[None, :], codebooks[j])[0]
+            else:
+                lut[j] = ((qs[None, :] - codebooks[j]) ** 2).sum(axis=1)
         luts[int(qid)] = lut
 
     joined = encoded.join(q_cells, "cell").where(

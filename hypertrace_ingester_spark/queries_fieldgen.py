@@ -932,22 +932,83 @@ lsh_top AS (
   SELECT 'lsh' AS method, query_id, neighbor_id, rank, cos_sim FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
     FROM lsh_scored) WHERE rank <= 5
+),
+-- IVF-PQ: codebook entry c of subspace j = raw subvector j of corpus
+-- vector vec_id 400+c (m=8 subspaces x dsub=8 dims, kk=16 entries);
+-- distances in the fold-expansion form faa - 2.0*fab + fbb so both
+-- engines accumulate identically (list_dot_product == strict fold)
+subsp AS (SELECT j FROM generate_series(0, 7) AS g(j)),
+cb AS (
+  SELECT (v.vec_id - 400) AS c, s.j,
+         list_slice(v.e, s.j * 8 + 1, s.j * 8 + 8) AS cbv,
+         list_dot_product(list_slice(v.e, s.j * 8 + 1, s.j * 8 + 8),
+                          list_slice(v.e, s.j * 8 + 1, s.j * 8 + 8)) AS fbb
+  FROM v CROSS JOIN subsp s WHERE v.vec_id BETWEEN 400 AND 415
+),
+sub AS (
+  SELECT v.vec_id, s.j,
+         list_slice(v.e, s.j * 8 + 1, s.j * 8 + 8) AS sv,
+         list_dot_product(list_slice(v.e, s.j * 8 + 1, s.j * 8 + 8),
+                          list_slice(v.e, s.j * 8 + 1, s.j * 8 + 8)) AS saa
+  FROM v CROSS JOIN subsp s
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT sub.vec_id, sub.j, cb.c,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.j
+             ORDER BY (sub.saa - 2.0 * list_dot_product(sub.sv, cb.cbv) + cb.fbb) ASC,
+                      cb.c ASC) AS rn
+    FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1
+),
+qlut AS (
+  SELECT sub.vec_id AS query_id, sub.j, cb.c,
+         (sub.saa - 2.0 * list_dot_product(sub.sv, cb.cbv) + cb.fbb) AS qd
+  FROM sub JOIN cb ON sub.j = cb.j WHERE sub.vec_id < 20
+),
+pq_cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM query_cells q JOIN corpus_cells c USING (cell)
+  WHERE c.vec_id != q.vec_id
+),
+adc AS (
+  SELECT pq_cand.query_id, pq_cand.neighbor_id,
+         list_dot_product(
+           list(qlut.qd ORDER BY qlut.j),
+           [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adc_dist
+  FROM pq_cand
+  JOIN codes ON codes.vec_id = pq_cand.neighbor_id
+  JOIN qlut ON qlut.query_id = pq_cand.query_id
+           AND qlut.j = codes.j AND qlut.c = codes.code
+  GROUP BY pq_cand.query_id, pq_cand.neighbor_id
+),
+ivfpq_top AS (
+  SELECT 'ivfpq' AS method, query_id, neighbor_id, rank, adc_dist AS score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM adc) WHERE rank <= 5
 )
 SELECT method, query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS cos_1e6
-FROM (SELECT * FROM ivf_top UNION ALL SELECT * FROM lsh_top)
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+FROM (SELECT method, query_id, neighbor_id, rank, cos_sim AS score FROM ivf_top
+      UNION ALL SELECT method, query_id, neighbor_id, rank, cos_sim AS score FROM lsh_top
+      UNION ALL SELECT * FROM ivfpq_top)
 """
 
 
 @register(
     "s_ann_ivf",
     _ANN_SQL,
-    doc="BOTH ANN scale paths under one gate (round-4, VERDICT #6): a UNION "
-        "of labeled (method, query_id, neighbor_id, rank, cos_1e6) rows from "
-        "(a) IVF — corpus in inverted lists by coarse centroid, queries "
-        "probe nprobe=4 cells and rerank exactly inside them, one corpus "
-        "shuffle keyed by cell — and (b) hyperplane LSH — 16-table "
-        "multiprobe bucket join, pass-through signer, no join-back shuffle. "
+    doc="ALL THREE ANN scale paths under one gate (round-4 VERDICT #6; "
+        "round-5 VERDICT #2 adds IVF-PQ): a UNION of labeled (method, "
+        "query_id, neighbor_id, rank, score_1e6) rows from (a) IVF — "
+        "corpus in inverted lists by coarse centroid, queries probe "
+        "nprobe=4 cells and rerank exactly inside them, one corpus "
+        "shuffle keyed by cell — (b) hyperplane LSH — 16-table "
+        "multiprobe bucket join, pass-through signer, no join-back "
+        "shuffle — and (c) IVF-PQ — the same probe set ADC-scanned over "
+        "m=8 subspace codes (corpus-derived codebooks = raw subvectors "
+        "of vec_id 400-415; distances in the faa-2fab+fbb fold-expansion "
+        "form so DuckDB restates codes, LUTs, and the ordered-j ADC sum "
+        "via list_dot_product with a ones vector). "
         "FULL oracle (late round 4, spandom/md5 pattern variant): the gated "
         "entry derives planes and centroids from CORPUS vectors both "
         "engines read from the same parquet (vectors_by_id) and runs the "
@@ -961,6 +1022,8 @@ FROM (SELECT * FROM ivf_top UNION ALL SELECT * FROM lsh_top)
         "tests/test_similarity_ivf.py and the bench recall table.",
 )
 def s_ann_ivf(spark, sf_dir):
+    import numpy as np
+
     from .operators import similarity as sim
     from .sources import load_table
 
@@ -968,17 +1031,29 @@ def s_ann_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20)
     cents = sim.vectors_by_id(emb, 0, 16)          # (16, 64) raw corpus rows
     planes = sim.vectors_by_id(emb, 100, 356).T    # (dim, tables*bits)
+    # PQ codebooks from raw corpus subvectors: entry c of subspace j is
+    # dims [j*8, j*8+8) of corpus vector 400+c -> shape (m=8, kk=16, dsub=8)
+    cbsrc = sim.vectors_by_id(emb, 400, 416)       # (16, 64)
+    books = np.stack([cbsrc[:, j * 8:(j + 1) * 8] for j in range(8)])
 
-    def label(df, method):
+    def label(df, method, score_col):
         return df.select(
             F.lit(method).alias("method"), "query_id", "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
-            F.floor(F.col("cos_sim") * F.lit(1000000.0) + F.lit(0.5))
-            .cast("long").alias("cos_1e6"),
+            F.floor(F.col(score_col) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long").alias("score_1e6"),
         )
 
     ivf = sim.ivf_topk(emb, queries, dim=64, k=5, centroids=cents,
                        exact_fold=True, round_cos=None)
     lsh = sim.ann_topk(emb, queries, dim=64, k=5, tables=16, nprobe=2,
                        planes=planes, exact_fold=True, round_cos=None)
-    return label(ivf, "ivf").unionByName(label(lsh, "lsh"))
+    pq = sim.ivfpq_topk(emb, queries, dim=64, codebooks=books, k=5,
+                        nprobe=sim.IVF_NPROBE, centroids=cents,
+                        normalize=False, exact_fold=True,
+                        ).withColumnRenamed("vec_id", "neighbor_id")
+    return (
+        label(ivf, "ivf", "cos_sim")
+        .unionByName(label(lsh, "lsh", "cos_sim"))
+        .unionByName(label(pq, "ivfpq", "adc_dist"))
+    )
