@@ -70,6 +70,24 @@ def spin_probe() -> float:
     return round(x / (time.time() - t0) / 1e6, 2)
 
 
+def fault_probe(mb: int = 64) -> float:
+    """Page-fault bandwidth in GB/s: touch every page of a fresh anonymous
+    mapping. The root-caused degraded-DRAM regime (BENCH/BASELINE.md) shows
+    here (healthy ~1.7-6, episodes 0.02-0.2) while the pure-CPU spin probe
+    stays normal. 64 MB default keeps the between-rep gate cheap (~0.03 s
+    healthy, a few seconds mid-episode); host_probe uses 256 MB."""
+    import mmap
+
+    n = mb * 1024 * 1024
+    buf = mmap.mmap(-1, n)
+    t0 = time.time()
+    for off in range(0, n, 4096):
+        buf[off] = 1
+    g = round((mb / 1024) / max(time.time() - t0, 1e-9), 2)
+    buf.close()
+    return g
+
+
 def host_probe(own_jvms: int = 0) -> dict:
     """Cheap canary for the two failure modes that have poisoned
     measurements on this sandbox (round 3): stray Spark JVMs left behind by
@@ -94,16 +112,8 @@ def host_probe(own_jvms: int = 0) -> dict:
     # page-fault bandwidth probe: the root-caused degradation mode is the
     # hypervisor collapsing fault bandwidth (1.7 GB/s → 5-50 MB/s) while
     # pure-CPU spin stays healthy — so the spin probe alone can miss it.
-    # Touch every page of a fresh 256 MB anonymous mapping; healthy ≳ 2
-    # GB/s on this box, deep episodes read double-digit MB/s.
-    import mmap
-
-    buf = mmap.mmap(-1, 256 * 1024 * 1024)
-    t0 = time.time()
-    for off in range(0, 256 * 1024 * 1024, 4096):
-        buf[off] = 1
-    fault_gbps = round(0.25 / max(time.time() - t0, 1e-9), 2)
-    buf.close()
+    # Healthy ≳ 2 GB/s on this box, deep episodes read double-digit MB/s.
+    fault_gbps = fault_probe(mb=256)
     try:
         out = subprocess.run(
             ["ps", "-eo", "pid,cmd"], capture_output=True, text=True, timeout=5
@@ -181,10 +191,32 @@ def main() -> None:
     # 3-10x its healthy wall; cap the measured series (keeping >=2 runs)
     # so the whole bench stays within any external runtime budget instead
     # of being killed mid-way and reporting nothing
+    # between-rep fault gate (round 5, VERDICT #3): the r4 driver's best-of-5
+    # was 8.96 s only because its capture ran into a collapsing DRAM window
+    # (post-run fault probe 0.17 GB/s) while probe-gated captures of the same
+    # code hit 6.84-6.88 s. So each MEASURED rep now takes a cheap 64 MB
+    # fault probe first; if the window has collapsed (<1 GB/s) the rep is
+    # deferred up to a bounded wait budget instead of burning a measurement
+    # slot recording the hypervisor. The warmup rep is never gated (JIT has
+    # to happen regardless), deferrals are visible in the JSON
+    # (gate_wait_sec), and the elapsed-time guard still caps the section.
     bench_t0 = time.time()
     pipeline_runs = []
     run_spins = []
-    for i in range(6):
+    run_faults = []
+    gate_wait_sec = 0.0
+    i = 0
+    while i < 6:
+        f = fault_probe() if i > 0 else -1.0
+        if (
+            i > 0
+            and f < 1.0
+            and gate_wait_sec < 150
+            and time.time() - bench_t0 < 330
+        ):
+            time.sleep(20)
+            gate_wait_sec += 20
+            continue
         out_dir = tempfile.mkdtemp(prefix="bench_pipe_", dir=scratch)
         t0 = time.time()
         run_pipeline(spark, seqs, PipelineConfig(out_dir=out_dir))
@@ -193,11 +225,15 @@ def main() -> None:
         if i > 0:
             pipeline_runs.append(dt)
             run_spins.append(spin_probe())
+            run_faults.append(f)
+        i += 1
         if len(pipeline_runs) >= 2 and time.time() - bench_t0 > 300:
             break
-    pipeline_runs.sort()
-    pipeline_sec = pipeline_runs[0]
-    pipeline_median = pipeline_runs[len(pipeline_runs) // 2]
+    # report runs in RUN ORDER (spin/fault lists stay aligned per rep);
+    # min/median from a sorted copy
+    runs_sorted = sorted(pipeline_runs)
+    pipeline_sec = runs_sorted[0]
+    pipeline_median = runs_sorted[len(runs_sorted) // 2]
 
     # --- headline operator queries --------------------------------------
     # Materialize the shared spans-domain checkpoint ONCE before timing:
@@ -225,7 +261,15 @@ def main() -> None:
     query_runs: dict[str, list[float]] = {}
     query_spins: dict[str, float] = {}
     passes_done = 0
+    pass_gate_wait = 0.0
     for _pass in range(3):
+        # between-pass fault gate (same rationale as the pipeline reps):
+        # don't start a whole 20-query pass inside a collapsed window
+        while (_pass > 0 and pass_gate_wait < 60
+               and fault_probe() < 1.0
+               and time.time() - bench_t0 < 420):
+            time.sleep(20)
+            pass_gate_wait += 20
         for name in HEADLINE:
             qd = REGISTRY[name]
             t0 = time.time()
@@ -312,9 +356,12 @@ def main() -> None:
         "median_throughput_seq_per_sec": round(n_rows / pipeline_median, 1),
         "pipeline_runs_sec": [round(t, 3) for t in pipeline_runs],
         "pipeline_run_spin_mops": run_spins,
+        "pipeline_run_fault_gbps": run_faults,
+        "gate_wait_sec": round(gate_wait_sec, 1),
         "cpus": cpus,
         "total_query_sec": round(sum(query_secs.values()), 3),
         "query_passes": passes_done,
+        "query_pass_gate_wait_sec": round(pass_gate_wait, 1),
         "query_runs_sec": query_runs,
         "query_spin_mops": query_spins,
         "host_probe_pre": probe_pre,
