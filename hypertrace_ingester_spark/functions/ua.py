@@ -2,9 +2,11 @@
 enrichers/UserAgentSpanEnricher.java:27-68 + util/UserAgentParser.java).
 
 The reference wraps the UAP library behind a Guava cache; here a
-uap-core-shaped regex table covering the top ~55 families from the public
+uap-core-shaped regex table covering ~150 families from the public
 uap-core regexes.yaml (it's a data file, not a library — the patterns and
-family precedence are re-stated, not imported) is applied VECTORIZED with
+family precedence are re-stated from public knowledge, not imported; the
+sandbox has no network, so the remaining uap-core ultra-long tail falls
+to the generic buckets) is applied VECTORIZED with
 pandas ``.str.extract`` / ``.str.contains`` inside an Arrow-batched UDF
 (never per-row Python). Rule order is precedence (first match wins),
 mirroring uap-core semantics:
@@ -65,6 +67,61 @@ UA_RULES: list[tuple[str, str, str]] = [
     ("TelegramBot", "bot", r"TelegramBot"),
     ("WhatsApp", "bot", r"WhatsApp/(\d+[\.\d]*)"),
     ("Slackbot", "bot", r"Slackbot"),
+    # Google's non-web-search crawler fleet (each has its own product
+    # token; the plain Googlebot rule above requires "Googlebot/" so these
+    # never shadow it)
+    ("AdsBot-Google-Mobile", "bot", r"AdsBot-Google-Mobile"),
+    ("AdsBot-Google", "bot", r"AdsBot-Google"),
+    ("Googlebot-News", "bot", r"Googlebot-News"),
+    ("Googlebot-Video", "bot", r"Googlebot-Video/(\d+[\.\d]*)"),
+    ("Storebot-Google", "bot", r"Storebot-Google/(\d+[\.\d]*)"),
+    ("GoogleOther", "bot", r"GoogleOther"),
+    ("APIs-Google", "bot", r"APIs-Google"),
+    ("Mediapartners-Google", "bot", r"Mediapartners-Google"),
+    ("FeedFetcher-Google", "bot", r"FeedFetcher-Google"),
+    ("Google-Read-Aloud", "bot", r"Google-Read-Aloud"),
+    ("Google Favicon", "bot", r"Google Favicon"),
+    ("GoogleStackdriverMonitoring", "bot",
+     r"GoogleStackdriverMonitoring-UptimeChecks"),
+    # regional engines, SEO/archive fleet, link preview + monitoring
+    ("Yeti", "bot", r"Yeti/(\d+[\.\d]*)"),
+    ("Sogou web spider", "bot", r"Sogou web spider/(\d+[\.\d]*)"),
+    ("Exabot", "bot", r"Exabot[/-](\d+[\.\d]*)"),
+    ("Mail.RU_Bot", "bot", r"Mail\.RU_Bot/(\d+[\.\d]*)"),
+    ("360Spider", "bot", r"360Spider"),
+    ("BLEXBot", "bot", r"BLEXBot/(\d+[\.\d]*)"),
+    ("DataForSeoBot", "bot", r"DataForSeoBot/(\d+[\.\d]*)"),
+    ("MegaIndex", "bot", r"MegaIndex\.ru/(\d+[\.\d]*)"),
+    ("Barkrowler", "bot", r"Barkrowler/(\d+[\.\d]*)"),
+    ("serpstatbot", "bot", r"serpstatbot/(\d+[\.\d]*)"),
+    ("ZoominfoBot", "bot", r"ZoominfoBot"),
+    ("archive.org_bot", "bot", r"archive\.org_bot"),
+    ("heritrix", "bot", r"heritrix/(\d+[\.\d]*)"),
+    ("ia_archiver", "bot", r"ia_archiver"),
+    ("Screaming Frog SEO Spider", "bot",
+     r"Screaming Frog SEO Spider/(\d+[\.\d]*)"),
+    ("rogerbot", "bot", r"rogerbot/(\d+[\.\d]*)"),
+    ("SiteAuditBot", "bot", r"SiteAuditBot/(\d+[\.\d]*)"),
+    ("W3C_Validator", "bot", r"W3C_Validator/(\d+[\.\d]*)"),
+    ("Qwantify", "bot", r"Qwantify/(\d+[\.\d]*)"),
+    ("redditbot", "bot", r"redditbot/(\d+[\.\d]*)"),
+    ("SkypeUriPreview", "bot", r"SkypeUriPreview"),
+    ("Embedly", "bot", r"Embedly"),
+    ("vkShare", "bot", r"vkShare"),
+    ("Pingdom", "bot", r"Pingdom\.com_bot_version_(\d+[\.\d]*)"),
+    ("StatusCake", "bot", r"StatusCake"),
+    ("Site24x7", "bot", r"Site24x7"),
+    ("NewRelicPinger", "bot", r"NewRelicPinger/(\d+[\.\d]*)"),
+    ("CensysInspect", "bot", r"CensysInspect/(\d+[\.\d]*)"),
+    ("zgrab", "bot", r"zgrab/(\d+[\.\d]*)"),
+    ("masscan", "bot", r"masscan/(\d+[\.\d]*)"),
+    # AI-era crawlers (public UA strings)
+    ("PerplexityBot", "bot", r"PerplexityBot/(\d+[\.\d]*)"),
+    ("OAI-SearchBot", "bot", r"OAI-SearchBot/(\d+[\.\d]*)"),
+    ("ChatGPT-User", "bot", r"ChatGPT-User/(\d+[\.\d]*)"),
+    ("cohere-ai", "bot", r"cohere-ai"),
+    ("Diffbot", "bot", r"Diffbot/(\d+[\.\d]*)"),
+    ("ImagesiftBot", "bot", r"ImagesiftBot"),
     # --- HTTP tools / SDKs ------------------------------------------------
     ("curl", "tool", r"curl/(\d+[\.\d]*)"),
     ("Wget", "tool", r"[Ww]get/(\d+[\.\d]*)"),
@@ -82,9 +139,40 @@ UA_RULES: list[tuple[str, str, str]] = [
     ("GuzzleHttp", "tool", r"GuzzleHttp/(\d+[\.\d]*)"),
     ("libwww-perl", "tool", r"libwww-perl/(\d+[\.\d]*)"),
     ("HTTPie", "tool", r"HTTPie/(\d+[\.\d]*)"),
-    # --- app shells / mail clients ---------------------------------------
+    ("python-httpx", "tool", r"python-httpx/(\d+[\.\d]*)"),
+    ("Java-http-client", "tool", r"Java-http-client/(\d+[\.\d]*)"),
+    ("Jakarta Commons-HttpClient", "tool",
+     r"Jakarta Commons-HttpClient/(\d+[\.\d]*)"),
+    ("grpc-java", "tool", r"grpc-java[\w-]*/(\d+[\.\d]*)"),
+    ("grpc-go", "tool", r"grpc-go/(\d+[\.\d]*)"),
+    ("Dart", "tool", r"Dart/(\d+[\.\d]*)"),
+    ("Deno", "tool", r"Deno/(\d+[\.\d]*)"),
+    ("rest-client", "tool", r"rest-client/(\d+[\.\d]*)"),
+    ("Faraday", "tool", r"Faraday v(\d+[\.\d]*)"),
+    ("http.rb", "tool", r"http\.rb/(\d+[\.\d]*)"),
+    ("Ruby", "tool", r"^Ruby\b"),
+    ("PHP", "tool", r"^PHP/(\d+[\.\d]*)"),
+    ("WordPress", "tool", r"WordPress/(\d+[\.\d]*)"),
+    ("PowerShell", "tool", r"WindowsPowerShell/(\d+[\.\d]*)"),
+    ("Insomnia", "tool", r"insomnia/(\d+[\.\d]*)"),
+    ("aws-sdk-go", "tool", r"aws-sdk-go/(\d+[\.\d]*)"),
+    ("aws-cli", "tool", r"aws-cli/(\d+[\.\d]*)"),
+    ("Boto3", "tool", r"Boto3/(\d+[\.\d]*)"),
+    ("git", "tool", r"^git/(\d+[\.\d]*)"),
+    # --- app shells / in-app webviews / mail clients ---------------------
+    # in-app browsers embed Chrome/Safari tokens, so the app section must
+    # precede every browser rule (same reason bots precede browsers)
     ("Electron", "app", r"Electron/(\d+[\.\d]*)"),
     ("Thunderbird", "app", r"Thunderbird/(\d+[\.\d]*)"),
+    ("Facebook", "app", r"FBAV/(\d+[\.\d]*)"),
+    ("Instagram", "app", r"Instagram[ /](\d+[\.\d]*)"),
+    ("WeChat", "app", r"MicroMessenger/(\d+[\.\d]*)"),
+    ("Line", "app", r"\bLine/(\d+[\.\d]*)"),
+    ("Snapchat", "app", r"Snapchat/(\d+[\.\d]*)"),
+    ("Google Search App", "app", r"GSA/(\d+[\.\d]*)"),
+    ("YandexSearch", "app", r"YandexSearch/(\d+[\.\d]*)"),
+    ("baiduboxapp", "app", r"baiduboxapp/(\d+[\.\d]*)"),
+    ("Outlook Mobile", "app", r"Outlook-(?:iOS|Android)/(\d+[\.\d]*)"),
     # --- browsers: Chromium derivatives before Chrome ---------------------
     ("HeadlessChrome", "browser", r"HeadlessChrome/(\d+[\.\d]*)"),
     ("Yandex Browser", "browser", r"YaBrowser/(\d+[\.\d]*)"),
@@ -92,7 +180,8 @@ UA_RULES: list[tuple[str, str, str]] = [
     ("Vivaldi", "browser", r"Vivaldi/(\d+[\.\d]*)"),
     ("Brave", "browser", r"Brave/(\d+[\.\d]*)"),
     ("UC Browser", "browser", r"UCBrowser/(\d+[\.\d]*)"),
-    ("QQ Browser", "browser", r"QQBrowser/(\d+[\.\d]*)"),
+    # \b so the desktop rule never fires inside the mobile MQQBrowser token
+    ("QQ Browser", "browser", r"\bQQBrowser/(\d+[\.\d]*)"),
     ("Maxthon", "browser", r"Maxthon[/ ](\d+[\.\d]*)"),
     ("Coc Coc", "browser", r"coc_coc_browser/(\d+[\.\d]*)"),
     ("Opera Mini", "browser", r"Opera Mini/(\d+[\.\d]*)"),
@@ -104,20 +193,49 @@ UA_RULES: list[tuple[str, str, str]] = [
     ("HuaweiBrowser", "browser", r"HuaweiBrowser/(\d+[\.\d]*)"),
     ("Amazon Silk", "browser", r"Silk/(\d+[\.\d]*)"),
     ("DuckDuckGo", "browser", r"Ddg/(\d+[\.\d]*)"),
+    # Chinese/OEM Chromium shells (each carries its own product token
+    # after the Chrome token, so they must precede the Chrome rules)
+    ("QQ Browser Mobile", "browser", r"MQQBrowser/(\d+[\.\d]*)"),
+    ("360 Secure Browser", "browser", r"\b360SE\b"),
+    ("360 Enterprise Browser", "browser", r"\b360EE\b"),
+    ("Sogou Explorer", "browser", r"MetaSr ?(\d+[\.\d]*)"),
+    ("2345 Explorer", "browser", r"2345Explorer/(\d+[\.\d]*)"),
+    ("Puffin", "browser", r"Puffin/(\d+[\.\d]*)"),
+    ("Aloha Browser", "browser", r"AlohaBrowser/(\d+[\.\d]*)"),
+    ("Mint Browser", "browser", r"Mint Browser/(\d+[\.\d]*)"),
+    ("VivoBrowser", "browser", r"VivoBrowser/(\d+[\.\d]*)"),
+    ("HeyTapBrowser", "browser", r"HeyTapBrowser/(\d+[\.\d]*)"),
+    ("OppoBrowser", "browser", r"OppoBrowser/(\d+[\.\d]*)"),
+    ("RealmeBrowser", "browser", r"RealmeBrowser/(\d+[\.\d]*)"),
+    ("Quark", "browser", r"Quark/(\d+[\.\d]*)"),
+    ("Oculus Browser", "browser", r"OculusBrowser/(\d+[\.\d]*)"),
+    ("Ecosia", "browser", r"Ecosia (?:android|ios)@(\d+[\.\d]*)"),
+    ("Iron", "browser", r"Iron/(\d+[\.\d]*)"),
+    ("NokiaBrowser", "browser", r"NokiaBrowser/(\d+[\.\d]*)"),
+    ("Nintendo Browser", "browser", r"NintendoBrowser/(\d+[\.\d]*)"),
+    ("Sailfish Browser", "browser", r"SailfishBrowser/(\d+[\.\d]*)"),
     # Firefox variants before Firefox
     ("Firefox iOS", "browser", r"FxiOS/(\d+[\.\d]*)"),
     ("Firefox Focus", "browser", r"Focus/(\d+[\.\d]*)"),
     ("Waterfox", "browser", r"Waterfox/(\d+[\.\d]*)"),
     ("Pale Moon", "browser", r"PaleMoon/(\d+[\.\d]*)"),
     ("SeaMonkey", "browser", r"SeaMonkey/(\d+[\.\d]*)"),
+    ("Iceweasel", "browser", r"Iceweasel/(\d+[\.\d]*)"),
+    ("LibreWolf", "browser", r"LibreWolf/(\d+[\.\d]*)"),
+    ("Basilisk", "browser", r"Basilisk/(\d+[\.\d]*)"),
+    ("K-Meleon", "browser", r"K-Meleon/(\d+[\.\d]*)"),
     ("Firefox Mobile", "browser", r"Android.*Firefox/(\d+[\.\d]*)"),
     ("Firefox", "browser", r"Firefox/(\d+[\.\d]*)"),
     # Chrome variants (WebView's "; wv)" token precedes the Chrome token)
     ("Chrome Mobile WebView", "browser", r"; wv\).*Chrome/(\d+[\.\d]*)"),
     ("Chrome Mobile iOS", "browser", r"CriOS/(\d+[\.\d]*)"),
     ("Chromium", "browser", r"Chromium/(\d+[\.\d]*)"),
+    ("QtWebEngine", "browser", r"QtWebEngine/(\d+[\.\d]*)"),
     ("Chrome Mobile", "browser", r"Chrome/(\d+[\.\d]*)[\.\d]* Mobile"),
     ("Chrome", "browser", r"Chrome/(\d+[\.\d]*)"),
+    # legacy Android stock browser: Version + Mobile Safari and NO Chrome
+    # token (every Chrome-bearing UA matched above)
+    ("Android", "browser", r"Android.*Version/(\d+[\.\d]*).*Mobile Safari"),
     ("Mobile Safari", "browser", r"Version/(\d+[\.\d]*).*Mobile.*Safari"),
     ("Safari", "browser", r"Version/(\d+[\.\d]*).*Safari"),
     # legacy IE: IEMobile before MSIE; Trident token for IE 11
@@ -126,6 +244,15 @@ UA_RULES: list[tuple[str, str, str]] = [
     ("IE", "browser", r"Trident/.*rv[: ](\d+[\.\d]*)"),
     ("Konqueror", "browser", r"Konqueror/(\d+[\.\d]*)"),
     ("Epiphany", "browser", r"Epiphany/(\d+[\.\d]*)"),
+    # text-mode and niche engines
+    ("Lynx", "browser", r"^Lynx/(\d+[\.\d]*)"),
+    ("w3m", "browser", r"^w3m/(\d+[\.\d]*)"),
+    ("ELinks", "browser", r"^ELinks[/ ](\d+[\.\d]*)"),
+    ("Links", "browser", r"^Links \((\d+[\.\d]*)"),
+    ("NetSurf", "browser", r"NetSurf/(\d+[\.\d]*)"),
+    ("Midori", "browser", r"Midori/(\d+[\.\d]*)"),
+    ("Falkon", "browser", r"Falkon/(\d+[\.\d]*)"),
+    ("Otter", "browser", r"Otter/(\d+[\.\d]*)"),
 ]
 
 _COMPILED: list[tuple[str, str, "re.Pattern[str]"]] = [
@@ -147,8 +274,17 @@ _OS_RULES: list[tuple[str, str]] = [
     ("iOS", r"iPhone|iPad"),
     ("macOS", r"Mac OS X|Macintosh"),
     ("Chrome OS", r"CrOS"),
+    ("KaiOS", r"KaiOS"),
+    ("Tizen", r"Tizen"),
     ("Android", r"Android"),
     ("BlackBerry", r"BlackBerry|BB10"),
+    ("Symbian", r"SymbianOS|Symbian"),
+    ("Sailfish", r"Sailfish"),
+    ("FreeBSD", r"FreeBSD"),
+    ("OpenBSD", r"OpenBSD"),
+    ("NetBSD", r"NetBSD"),
+    ("Ubuntu", r"Ubuntu"),
+    ("Fedora", r"Fedora"),
     ("Linux", r"Linux"),
 ]
 
@@ -168,16 +304,26 @@ def parse_user_agents(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
             utype = pd.Series([None] * n, dtype="object")
             version = pd.Series([None] * n, dtype="object")
             remaining = pd.Series([True] * n)
+            # each rule scans only the still-unmatched subset (first-match
+            # precedence makes matched rows dead to later rules anyway);
+            # with the round-5 long-tail table at ~150 rules this is the
+            # difference between O(rules × batch) and O(rules × unmatched)
+            # regex work per batch — most rows match in the first dozen
+            # browser/bot rules
             for fam, typ, rx in _COMPILED:
+                live = ua[remaining]
+                if len(live) == 0:
+                    break
                 if rx.groups:
-                    got = ua.str.extract(rx, expand=False)
-                    hit = remaining & got.notna()
-                    version[hit] = got[hit]
+                    got = live.str.extract(rx, expand=False)
+                    hit_idx = got.index[got.notna()]
+                    version[hit_idx] = got[hit_idx]
                 else:  # versionless family
-                    hit = remaining & ua.str.contains(rx, regex=True, na=False)
-                family[hit] = fam
-                utype[hit] = typ
-                remaining &= ~hit
+                    mask = live.str.contains(rx, regex=True, na=False)
+                    hit_idx = mask.index[mask]
+                family[hit_idx] = fam
+                utype[hit_idx] = typ
+                remaining[hit_idx] = False
             # generic versionless bots (uap-core spider bucket)
             bot_hit = remaining & ua.str.contains(GENERIC_BOT_RX, regex=True, na=False)
             family[bot_hit] = "Spider"

@@ -165,6 +165,57 @@ def test_parse_user_agents_long_tail(spark):
         ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 "
          "Chrome/116.0.0.0 Safari/537.36",
          "Chrome", "browser", "116", "Chrome OS", "Other"),
+        # --- round-5 long-tail additions (VERDICT #4): regional crawlers,
+        # AI-era bots, SDK tools, in-app webviews, OEM shells, legacy stock
+        ("Mozilla/5.0 (compatible; Yeti/1.1; +http://naver.me/spd)",
+         "Yeti", "bot", "1.1", None, "Spider"),
+        ("Sogou web spider/4.0(+http://www.sogou.com/docs/help/"
+         "webmasters.htm#07)",
+         "Sogou web spider", "bot", "4", None, "Spider"),
+        ("Mozilla/5.0 (compatible; PerplexityBot/1.0; "
+         "+https://perplexity.ai/perplexitybot)",
+         "PerplexityBot", "bot", "1", None, "Spider"),
+        ("Mozilla/5.0 AppleWebKit/537.36 (compatible; OAI-SearchBot/1.0; "
+         "+https://openai.com/searchbot)",
+         "OAI-SearchBot", "bot", "1", None, "Spider"),
+        ("Mozilla/5.0 (compatible; heritrix/3.4.0 +http://archive.org)",
+         "heritrix", "bot", "3.4", None, "Spider"),
+        ("Screaming Frog SEO Spider/19.4",
+         "Screaming Frog SEO Spider", "bot", "19.4", None, "Spider"),
+        ("Pingdom.com_bot_version_1.4_(http://www.pingdom.com/)",
+         "Pingdom", "bot", "1.4", None, "Spider"),
+        ("GoogleOther", "GoogleOther", "bot", None, None, "Spider"),
+        ("grpc-java-netty/1.45.0", "grpc-java", "tool", "1.45", None, "Other"),
+        ("Dart/3.2 (dart:io)", "Dart", "tool", "3.2", None, "Other"),
+        ("python-httpx/0.27.0", "python-httpx", "tool", "0.27", None, "Other"),
+        ("aws-cli/2.13.5 Python/3.11.4 Linux/5.15",
+         "aws-cli", "tool", "2.13", "Linux", "Other"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) "
+         "AppleWebKit/605.1.15 [FBAN/FBIOS;FBAV/430.0.0.30.107;FBBV/0]",
+         "Facebook", "app", "430", "iOS", "iPhone"),
+        ("Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 "
+         "Chrome/116.0.0.0 Mobile Safari/537.36 Instagram 295.0.0.32.119 "
+         "Android", "Instagram", "app", "295", "Android",
+         "Generic Smartphone"),
+        ("Mozilla/5.0 (Linux; Android 12; V2171A) AppleWebKit/537.36 "
+         "Chrome/116.0.0.0 Mobile Safari/537.36 MicroMessenger/8.0.42",
+         "WeChat", "app", "8.0", "Android", "Generic Smartphone"),
+        ("Mozilla/5.0 (Linux; U; Android 12; zh-cn; M2012K11AC) "
+         "AppleWebKit/537.36 MQQBrowser/13.4 Mobile Safari/537.36",
+         "QQ Browser Mobile", "browser", "13.4", "Android",
+         "Generic Smartphone"),
+        ("Mozilla/5.0 (Linux; U; Android 4.0.3; en-us; GT-I9100) "
+         "AppleWebKit/534.30 (KHTML, like Gecko) Version/4.0 Mobile "
+         "Safari/534.30",
+         "Android", "browser", "4", "Android", "Generic Smartphone"),
+        ("Lynx/2.8.9rel.1 libwww-FM/2.14 SSL-MM/1.4.1",
+         "Lynx", "browser", "2.8", None, "Other"),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+         "QtWebEngine/5.15.3 Chrome/87.0.4280.144 Safari/537.36",
+         "QtWebEngine", "browser", "5.15", "Linux", "Other"),
+        ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0) Gecko/20100101 "
+         "Firefox/115.0",
+         "Firefox", "browser", "115", "Ubuntu", "Other"),
     ]
     df = spark.createDataFrame(
         [(i, ua) for i, (ua, *_rest) in enumerate(cases)], "id int, user_agent string"
