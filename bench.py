@@ -343,12 +343,53 @@ def main() -> None:
                        centroids=trained, corpus_probe=2)
         .withColumnRenamed("vec_id", "neighbor_id"), exact)
 
+    # --- Drain-tier log templates (catalog-neutral datum, round 5) -------
+    # the depth-bounded tree tier over the V6 log-event summaries; not a
+    # catalog entry (catalog is pinned at 50), so its cost/compression is
+    # recorded here instead
+    from hypertrace_ingester_spark.operators import drain as drain_mod
+
+    # compose log-shaped lines from event columns (the raw events summary
+    # degenerates to one masked template): numeric slots mask to <NUM>,
+    # the node-name slot is an unmaskable literal only the tree tier can
+    # wildcard — i.e. the case the Drain tier exists for
+    ev = load_table(spark, sf_dir, "events")
+    log_lines = ev.select(
+        "event_id",
+        F.format_string(
+            "%s request for user %d on node %s completed in %.0f ms",
+            F.col("event_type"), F.col("user_id"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in
+                          ("alpha", "bravo", "charlie", "delta", "echo")]),
+                (F.col("user_id") % 5 + 1).cast("int")),
+            F.col("value"),
+        ).alias("summary"),
+    )
+    t0 = time.time()
+    stats = (
+        drain_mod.drain_templates(log_lines,
+                                  msg_col="summary", order_col="event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_lines").alias("n_lines"),
+        ).collect()[0]
+    )
+    drain_datum = {
+        "sec": round(time.time() - t0, 3),
+        "n_lines": int(stats["n_lines"]),
+        "n_distinct_msgs": int(stats["n_msgs"]),
+        "n_clusters": int(stats["n_clusters"]),
+    }
+
     result = {
         "metric": "e2e_pipeline_sec",
         "value": round(pipeline_sec, 3),
         "unit": "sec",
         "queries": query_secs,
         "ann_recall_at_5": ann_recall,
+        "drain_templates": drain_datum,
         "sf": sf,
         "pipeline_rows": n_rows,
         "throughput_seq_per_sec": round(n_rows / pipeline_sec, 1),

@@ -1,0 +1,169 @@
+"""Drain-tier log template mining vs an independent pure-python reference
+(the robots/BM25 oracle pattern): the reference builds the fixed-depth
+tree with its own dict-based routing and its own regex masking, processes
+the same distinct-masked-message stream in first-occurrence order, and
+must agree with the Spark operator on every cluster assignment and final
+template. Plus the motivating semantic case the mask-chain tier cannot
+express: lines differing in an unmasked literal slot merging into one
+wildcarded template."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hypertrace_ingester_spark.operators import drain
+
+
+# --- independent pure-python Drain reference --------------------------------
+
+_MASKS = [
+    (re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"), "<IP>"),
+    (re.compile(
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b"), "<UUID>"),
+    (re.compile(r"\b0x[0-9a-fA-F]+\b"), "<HEX>"),
+    (re.compile(r"\d+"), "<NUM>"),
+]
+
+
+def _py_mask(line: str) -> str:
+    for rx, tok in _MASKS:
+        line = rx.sub(tok, line)
+    return line
+
+
+def _py_drain(lines, depth=4, st=0.5):
+    """(ordered unique masked messages) -> {masked_msg: (cluster_key,
+    template)} via a literal fixed-depth tree of nested dicts."""
+    tree = {}
+    results = {}
+    clusters = []  # (leaf_key, [template tokens], [member msgs])
+    for msg in lines:
+        tokens = msg.split()
+        key_parts = [str(len(tokens))]
+        for i in range(depth - 1):
+            t = tokens[i] if i < len(tokens) else ""
+            key_parts.append("<*>" if re.search(r"\d", t) else t)
+        node = tree
+        for part in key_parts:
+            node = node.setdefault(part, {})
+        leaf = node.setdefault("_clusters", [])
+        best, best_sim, best_par = -1, -1.0, -1
+        for ci in leaf:
+            tmpl = clusters[ci][1]
+            sim, par = 0, 0
+            for a, b in zip(tmpl, tokens):
+                if a == "<*>":
+                    par += 1
+                elif a == b:
+                    sim += 1
+            s = sim / max(len(tokens), 1)
+            if s > best_sim or (s == best_sim and par > best_par):
+                best, best_sim, best_par = ci, s, par
+        if best >= 0 and best_sim >= st:
+            kp, tmpl, members = clusters[best]
+            clusters[best] = (
+                kp,
+                [a if a == b else "<*>" for a, b in zip(tmpl, tokens)],
+                members + [msg],
+            )
+        else:
+            clusters.append(("\x1f".join(key_parts), [list(tokens), ][0],
+                             [msg]))
+            leaf.append(len(clusters) - 1)
+    for ci, (kp, tmpl, members) in enumerate(clusters):
+        for msg in members:
+            results[msg] = (kp, " ".join(tmpl))
+    return results
+
+
+LINES = [
+    "connected to host alpha on port 8080",
+    "connected to host bravo on port 9090",
+    "connected to host charlie on port 8080",
+    "user 1001 logged in from 10.0.0.1",
+    "user 1002 logged in from 10.0.0.2",
+    "user 1002 logged out",
+    "cache miss for key a1b2c3d4-e5f6-7890-abcd-ef0123456789",
+    "cache miss for key 99999999-aaaa-bbbb-cccc-dddddddddddd",
+    "GC pause 0x1f3a took 250 ms",
+    "GC pause 0x2b4c took 31 ms",
+    "request failed with status 503 retrying",
+    "request failed with status 404 giving up",
+    "shutdown complete",
+    "shutdown complete",          # exact duplicate: must not re-cluster
+    "connected to host alpha on port 8080",   # duplicate of line 0
+]
+
+
+def _spark_logs(spark):
+    return spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(LINES)],
+        "event_id long, summary string")
+
+
+def test_drain_matches_python_reference(spark):
+    got = drain.drain_templates(_spark_logs(spark)).toPandas()
+    # reference stream: distinct masked messages in first-occurrence order
+    seen, ordered = set(), []
+    for ln in LINES:
+        m = _py_mask(ln)
+        if m not in seen:
+            seen.add(m)
+            ordered.append(m)
+    want = _py_drain(ordered)
+    assert set(got["masked_msg"]) == set(want)
+    for _, r in got.iterrows():
+        wk, wt = want[r["masked_msg"]]
+        assert r["template"] == wt, (r["masked_msg"], r["template"], wt)
+    # same-cluster structure: two messages share a Spark cluster_id iff
+    # they share a reference template+leaf
+    by_cluster = got.groupby("cluster_id")["masked_msg"].apply(set)
+    ref_groups = {}
+    for m, (kp, t) in want.items():
+        ref_groups.setdefault((kp, t), set()).add(m)
+    assert sorted(map(sorted, by_cluster)) == sorted(
+        map(sorted, ref_groups.values()))
+
+
+def test_drain_merges_unmasked_literal_slots(spark):
+    """The exact case the mask chain cannot merge (round-5 VERDICT #5):
+    hostnames are unmaskable literals, so the mask tier keeps 3 templates;
+    the Drain tier folds them into one wildcarded skeleton."""
+    got = drain.drain_templates(_spark_logs(spark)).toPandas()
+    hosts = got[got["masked_msg"].str.startswith("connected to host")]
+    assert set(hosts["template"]) == {
+        "connected to host <*> on port <NUM>"}
+    assert hosts["cluster_id"].nunique() == 1
+    # duplicates weighted, not re-clustered
+    alpha = hosts[hosts["masked_msg"].str.contains("alpha")]
+    assert int(alpha["n_lines"].iloc[0]) == 2
+    # different token counts never merge (tree routing)
+    out_row = got[got["masked_msg"] == "user <NUM> logged out"]
+    in_rows = got[got["masked_msg"].str.contains("logged in")]
+    assert set(in_rows["template"]) == {"user <NUM> logged in from <IP>"}
+    assert out_row["template"].iloc[0] == "user <NUM> logged out"
+
+
+def test_assign_templates_is_broadcast_and_total(spark):
+    logs = _spark_logs(spark)
+    templ = drain.drain_templates(logs)
+    labeled = drain.assign_templates(logs, templ)
+    rows = labeled.collect()
+    assert len(rows) == len(LINES)
+    assert all(r["template"] is not None for r in rows)
+    # line side must not shuffle: broadcast join, no hash Exchange before it
+    plan = labeled._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("BroadcastExchange")[0]
+    assert "BroadcastHashJoin" in head
+    assert "Exchange hashpartitioning" not in head
+
+
+def test_drain_deterministic_across_runs(spark):
+    a = drain.drain_templates(_spark_logs(spark)).toPandas() \
+        .sort_values("masked_msg").reset_index(drop=True)
+    b = drain.drain_templates(
+        _spark_logs(spark).repartition(7)).toPandas() \
+        .sort_values("masked_msg").reset_index(drop=True)
+    assert a.equals(b)
