@@ -83,6 +83,14 @@ def corpus_datacard(
          else F.approx_count_distinct("_th", 0.01)).alias("distinct_docs"),
         *quants,
     )
+    # corpus totals via an unpartitioned window over `grouped`: this DOES
+    # funnel through one task (Spark warns), but `grouped` is the bounded
+    # (source x lang)-grain frame — dozens of rows — so the single-task
+    # window moves group-grain rows only. The seemingly-cleaner 1-row
+    # totals crossJoin is WORSE here: `totals` would be a second branch
+    # over the same aggregate lineage, re-running the corpus-wide shuffle
+    # twice (verified round 5 — it broke the one-corpus-Exchange plan
+    # assertion in test_datacard).
     wall = Window.partitionBy()
     return grouped.select(
         *gcols,
