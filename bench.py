@@ -208,9 +208,14 @@ def main() -> None:
     i = 0
     while i < 6:
         f = fault_probe() if i > 0 else -1.0
+        # gate at 1.5 GB/s: round-5 observation — reps admitted at
+        # 1.1-1.3 GB/s still measured 35-40 s (the regime is degraded well
+        # below the healthy ≥2); the 6.8-8.9 s captures all ran at ≥1.5.
+        # The budget bound keeps a fully-degraded window from stalling the
+        # bench: after 150 s of deferrals it measures anyway, visibly.
         if (
             i > 0
-            and f < 1.0
+            and f < 1.5
             and gate_wait_sec < 150
             and time.time() - bench_t0 < 330
         ):
@@ -266,7 +271,7 @@ def main() -> None:
         # between-pass fault gate (same rationale as the pipeline reps):
         # don't start a whole 20-query pass inside a collapsed window
         while (_pass > 0 and pass_gate_wait < 60
-               and fault_probe() < 1.0
+               and fault_probe() < 1.5
                and time.time() - bench_t0 < 420):
             time.sleep(20)
             pass_gate_wait += 20
