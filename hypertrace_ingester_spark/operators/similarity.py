@@ -1142,3 +1142,69 @@ def ivfpq_topk(
         best.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank: int = 100,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    corpus_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-then-exact-rerank — the production recall lever for IVF-PQ
+    (Jégou et al.'s standard deployment shape): the ADC scan returns its
+    top-``rerank`` candidates per query (cheap: m-byte codes, lookup-table
+    adds), then ONLY those candidates' float vectors are fetched and
+    ranked by exact cosine. Quantization error stops costing recall the
+    moment the true neighbor merely lands in the ADC top-R (R ≈ 20×k),
+    while the float-vector traffic is ``queries × R`` rows instead of the
+    probed fraction of the corpus.
+
+    With ``rerank`` ≥ the probed candidate population this is EXACTLY
+    ``ivf_topk`` at the same probe parameters (asserted in tests) — the
+    ADC stage degenerates to a pass-through candidate generator.
+
+    Scale shape: the candidate frame is bounded (queries × R), so the
+    vector fetch is one join keyed by ``id_col`` against the corpus —
+    at 100 TB, footer/bucket pruning on a by-id-clustered vector table
+    serves it without a corpus scan — and the query vectors broadcast.
+
+    Output: (query_id, ``id_col``, cos_sim, rank) — deterministic
+    (-cos, id) tie-break, self-matches already excluded by the ADC stage.
+    """
+    cand = ivfpq_topk(
+        corpus, queries, dim, codebooks, k=rerank, n_cells=n_cells,
+        nprobe=nprobe, corpus_probe=corpus_probe, id_col=id_col,
+        vec_col=vec_col, centroids=centroids, encoded=encoded,
+    ).select("query_id", id_col)
+    cvec = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    scored = (
+        cand.join(cvec, id_col)
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+        .select("query_id", id_col, "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -230,3 +230,38 @@ def test_adc_topk_rejects_unbounded_queries_frame(spark):
         q, F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"), max_rows=7)
     assert len(pdf) == 7
+
+
+def test_ivfpq_rerank_recovers_exact_ivf_ranking(spark):
+    """PQ-then-exact-rerank (round 5): with rerank >= the probed candidate
+    population, the ADC stage is a pass-through candidate generator and
+    the result must EQUAL ivf_topk's exact in-cell rerank at the same
+    probe parameters; with small rerank, recall@5 vs exact must be at
+    least the plain ADC ranking's (quantization error can only be
+    repaired, not introduced, by exact rescoring of a superset)."""
+    emb = _corpus(spark)
+    dim = _dim(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = sim.fit_pq_codebooks(emb, dim, m=8, k=16)
+    cents = sim.fit_centroids(emb, dim)
+
+    ivf = sim.ivf_topk(emb, queries, dim=dim, k=5, centroids=cents,
+                       round_cos=None)
+    rr = sim.ivfpq_rerank_topk(emb, queries, dim=dim, codebooks=books,
+                               k=5, rerank=100000, centroids=cents)
+    got_ivf = {(r["query_id"], r["neighbor_id"], r["rank"])
+               for r in ivf.collect()}
+    got_rr = {(r["query_id"], r["vec_id"], r["rank"])
+              for r in rr.collect()}
+    assert got_rr == got_ivf
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim.cosine_topk(emb, queries, k=5).collect()}
+
+    def recall(df, id_field):
+        got = {(r["query_id"], r[id_field]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    adc = sim.ivfpq_topk(emb, queries, dim=dim, codebooks=books, k=5,
+                         centroids=cents)
+    assert recall(rr, "vec_id") >= recall(adc, "vec_id")
