@@ -347,6 +347,14 @@ def main() -> None:
         sim.ivfpq_topk(emb, ann_queries, dim=64, codebooks=books, k=5,
                        centroids=trained, corpus_probe=2)
         .withColumnRenamed("vec_id", "neighbor_id"), exact)
+    # PQ-then-exact-rerank: ADC top-100 -> exact cosine rescoring; should
+    # recover exact-rerank IVF's recall at the same probes (the ADC stage
+    # only has to get the true neighbor into its top-R)
+    ann_recall["ivfpq_rerank100_p4_m8_ma2"] = recall(
+        sim.ivfpq_rerank_topk(emb, ann_queries, dim=64, codebooks=books,
+                              k=5, rerank=100, centroids=trained,
+                              corpus_probe=2)
+        .withColumnRenamed("vec_id", "neighbor_id"), exact)
 
     # --- Drain-tier log templates (catalog-neutral datum, round 5) -------
     # the depth-bounded tree tier over the V6 log-event summaries; not a
