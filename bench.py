@@ -195,11 +195,12 @@ def main() -> None:
     # was 8.96 s only because its capture ran into a collapsing DRAM window
     # (post-run fault probe 0.17 GB/s) while probe-gated captures of the same
     # code hit 6.84-6.88 s. So each MEASURED rep now takes a cheap 64 MB
-    # fault probe first; if the window has collapsed (<1 GB/s) the rep is
-    # deferred up to a bounded wait budget instead of burning a measurement
-    # slot recording the hypervisor. The warmup rep is never gated (JIT has
-    # to happen regardless), deferrals are visible in the JSON
-    # (gate_wait_sec), and the elapsed-time guard still caps the section.
+    # fault probe first; if the window is degraded (< the 1.5 GB/s gate at
+    # the condition below) the rep is deferred up to a bounded wait budget
+    # instead of burning a measurement slot recording the hypervisor. The
+    # warmup rep is never gated (JIT has to happen regardless), deferrals
+    # are visible in the JSON (gate_wait_sec), and the elapsed-time guard
+    # still caps the section.
     bench_t0 = time.time()
     pipeline_runs = []
     run_spins = []

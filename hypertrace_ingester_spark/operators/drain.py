@@ -51,15 +51,29 @@ from .views import mask_log_line
 WILDCARD = "<*>"
 
 
+def _masked_msg(col: Column) -> Column:
+    """Canonical masked message: mask chain, then whitespace canonicalized
+    — edge runs stripped and interior runs collapsed to ONE space (Java
+    ``\\s`` class). This is what makes tokenization engine-agnostic: the
+    JVM routing and the Python per-leaf merge both split on the literal
+    single space, so a tab- or CRLF-bearing line cannot route under one
+    token count and cluster under another (review find: ``F.trim`` strips
+    only ASCII spaces and Python ``str.split()`` treats Unicode
+    whitespace differently from Java ``\\s``)."""
+    m = mask_log_line(col)
+    m = F.regexp_replace(m, r"^\s+|\s+$", "")
+    return F.regexp_replace(m, r"\s+", " ")
+
+
 def _route_tokens(tokens_col: Column, depth: int) -> Column:
-    """First ``depth-1`` routing tokens with Drain's digit rule (any token
-    containing a digit routes as the wildcard — after masking these are
-    already ``<NUM>``-style, but the rule also catches mixed tokens like
-    ``worker-3``); missing positions route as empty."""
+    """First ``depth-1`` routing tokens; missing positions route as empty.
+    Drain's classic digit rule (digit-bearing tokens route as the
+    wildcard) is deliberately ABSENT: the mask chain runs before routing
+    and replaces every digit run with ``<NUM>``-style tokens, so no
+    post-mask token can contain a digit — the rule would be dead code."""
     parts = []
     for i in range(depth - 1):
-        t = F.coalesce(F.get(tokens_col, i), F.lit(""))
-        parts.append(F.when(t.rlike(r"\d"), F.lit(WILDCARD)).otherwise(t))
+        parts.append(F.coalesce(F.get(tokens_col, i), F.lit("")))
     return F.concat_ws("\x1f", *parts)
 
 
@@ -108,9 +122,9 @@ def drain_templates(
     """
     masked = logs.select(
         F.col(order_col).alias("_oid"),
-        mask_log_line(F.col(msg_col)).alias("masked_msg"),
+        _masked_msg(F.col(msg_col)).alias("masked_msg"),
     ).where(F.col("masked_msg").isNotNull())
-    toks = F.split(F.trim(F.col("masked_msg")), r"\s+")
+    toks = F.split(F.col("masked_msg"), " ")
     keyed = masked.select(
         "_oid", "masked_msg",
         F.concat_ws(
@@ -130,7 +144,9 @@ def drain_templates(
         clusters: List[List[str]] = []
         assign: List[int] = []
         for msg in pdf["masked_msg"]:
-            tokens = msg.split()
+            # masked_msg is whitespace-canonical (single spaces only) —
+            # split on the literal space, matching the JVM routing split
+            tokens = msg.split(" ")
             best, best_sim, best_par = -1, -1.0, -1
             for ci, tmpl in enumerate(clusters):
                 s, p = seq_dist(tmpl, tokens)
@@ -165,6 +181,6 @@ def assign_templates(
     masked message map-side and broadcast-join the (bounded) template
     table — the line frame never shuffles."""
     with_mask = logs.withColumn(
-        "masked_msg", mask_log_line(F.col(msg_col)))
+        "masked_msg", _masked_msg(F.col(msg_col)))
     dim = templates.select("masked_msg", "cluster_id", "template")
     return with_mask.join(F.broadcast(dim), "masked_msg", "left")

@@ -1032,8 +1032,15 @@ def ivfpq_encode(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    out = df.select(id_col, vec_col).mapInPandas(
         enc, schema=f"{id_col} bigint, cell bigint, codes array<smallint>"
+    )
+    # stamp the encoding geometry so a persisted/reused frame can be
+    # validated by ivfpq_topk (review find: a normalize=False encoding
+    # queried with normalize=True LUTs would silently mix two geometries)
+    return out.withColumn(
+        "_pq_geom",
+        F.lit(f"norm={int(bool(normalize))},fold={int(bool(exact_fold))}"),
     )
 
 
@@ -1070,6 +1077,19 @@ def ivfpq_topk(
             corpus, dim, codebooks, n_cells, corpus_probe,
             id_col, vec_col, centroids,
             normalize=normalize, exact_fold=exact_fold)
+    if "_pq_geom" in encoded.columns:
+        # a reused encoding must have been built in the SAME geometry the
+        # query-side LUTs assume (review find: normalize=False codes
+        # scanned with normalize=True LUTs return silently wrong top-k)
+        want = f"norm={int(bool(normalize))},fold={int(bool(exact_fold))}"
+        got = encoded.select("_pq_geom").first()
+        if got is not None and got["_pq_geom"] != want:
+            raise ValueError(
+                f"ivfpq_topk: encoded frame geometry {got['_pq_geom']!r} "
+                f"does not match query-side flags {want!r} — re-encode or "
+                "pass matching normalize/exact_fold"
+            )
+        encoded = encoded.drop("_pq_geom")
     q_cells = ivf_assign(
         queries, dim, n_cells, nprobe, id_col, vec_col, centroids,
         exact_fold=exact_fold,

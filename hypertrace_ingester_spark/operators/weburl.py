@@ -35,12 +35,21 @@ _TRACKING_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 
-def _host_expr(url_col: str) -> Column:
-    raw_host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
-    # strip a port unless the "host" is a bracketed IPv6 literal
+def normalize_host(raw_host: Column) -> Column:
+    """Canonical host form shared by every host-keyed join in the repo
+    (URL-derived hosts here; rules-table hosts in sources/robots.py):
+    lowercase, port stripped unless the host is a bracketed IPv6 literal.
+    ONE definition on purpose — two independently-stated copies would let
+    a future tweak silently stop robots rules matching any URL (the
+    span_has_error drift rule applied to hosts)."""
+    lowered = F.lower(raw_host)
     return F.when(
-        raw_host.startswith("["), raw_host
-    ).otherwise(F.split(raw_host, ":").getItem(0))
+        lowered.startswith("["), lowered
+    ).otherwise(F.split(lowered, ":").getItem(0))
+
+
+def _host_expr(url_col: str) -> Column:
+    return normalize_host(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
 
 
 def _reg_domain_expr(host: Column) -> Column:

@@ -472,17 +472,27 @@ def run_curation(
     # 1b) opt-in learned quality classifier + Pareto retention
     if cfg.quality_model_alpha is not None:
         labeled = qm.weak_labels(prof)
-        train = labeled
-        if cfg.quality_model_train_rows is not None:
-            n = train.count()
-            if n > cfg.quality_model_train_rows:
-                train = train.sample(
-                    cfg.quality_model_train_rows / n, seed=cfg.seed + 7)
-        # pin the (bounded) training set: LBFGS + the label check make
-        # many passes, and without this each pass re-materializes the
-        # whole profile-scan prefix
-        train = train.localCheckpoint()
-        if train.select("label").distinct().count() >= 2:
+        # the trainability decision runs on the FULL weak-label frame —
+        # deciding it on a sample would mislabel a rare-minority corpus
+        # as "single-class" and silently skip training (review find)
+        if labeled.select("label").distinct().count() >= 2:
+            train = labeled
+            if cfg.quality_model_train_rows is not None:
+                n = train.count()
+                if n > cfg.quality_model_train_rows:
+                    train = train.sample(
+                        cfg.quality_model_train_rows / n, seed=cfg.seed + 7)
+                # pin the BOUNDED training set (≤ cap, or corpus already
+                # smaller): LBFGS makes ~max_iter passes and without this
+                # each one re-materializes the profile-scan prefix. With
+                # the cap disabled (None) the frame stays lazy — eagerly
+                # pinning a corpus-scale frame would be the worse trade
+                # (review find).
+                train = train.localCheckpoint()
+                if train.select("label").distinct().count() < 2:
+                    # sampling dropped the minority class entirely —
+                    # correctness over the perf cap: train on everything
+                    train = labeled
             model = qm.train_quality_model(
                 train, n_features=cfg.quality_model_features
             )

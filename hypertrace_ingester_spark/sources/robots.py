@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.weburl import _host_expr
+from ..operators.weburl import _host_expr, normalize_host
 
 
 def _pattern_regex(path: Column) -> Column:
@@ -70,17 +70,14 @@ def parse_robots(
     next to the page corpus), two window passes partitioned by host, one
     aggregate per (host, group); output is rules-per-host bounded."""
     # Normalize the host key to the same canonical form robots_filter
-    # derives from URLs (_host_expr: lowercase, port stripped unless a
-    # bracketed IPv6 literal) — a rules table keyed by "Example.COM:8080"
-    # must still match. Split bodies on \r?\n: CRLF-served robots.txt is
-    # the common real-world case and F.trim strips only ASCII spaces, so
-    # a bare "\n" split leaves a trailing \r in every token.
-    raw_host = F.lower(F.col(host_col))
-    norm_host = F.when(
-        raw_host.startswith("["), raw_host
-    ).otherwise(F.split(raw_host, ":").getItem(0))
+    # derives from URLs — ONE shared definition (weburl.normalize_host),
+    # so a rules table keyed by "Example.COM:8080" matches and the two
+    # sides can never drift. Split bodies on \r?\n: CRLF-served
+    # robots.txt is the common real-world case and F.trim strips only
+    # ASCII spaces, so a bare "\n" split leaves a trailing \r in every
+    # token.
     lines = robots.select(
-        norm_host.alias("host"),
+        normalize_host(F.col(host_col)).alias("host"),
         F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("idx", "raw"),
     ).select(
         "host", "idx",

@@ -27,10 +27,16 @@ _MASKS = [
 ]
 
 
+# Java's \s class, exactly: [ \t\n\x0B\f\r] — the canonicalization must
+# mirror Spark's regexp_replace semantics, not Python's Unicode \s
+_JWS = "[ \t\n\x0b\f\r]"
+
+
 def _py_mask(line: str) -> str:
     for rx, tok in _MASKS:
         line = rx.sub(tok, line)
-    return line
+    line = re.sub(f"^{_JWS}+|{_JWS}+$", "", line)
+    return re.sub(f"{_JWS}+", " ", line)
 
 
 def _py_drain(lines, depth=4, st=0.5):
@@ -40,11 +46,10 @@ def _py_drain(lines, depth=4, st=0.5):
     results = {}
     clusters = []  # (leaf_key, [template tokens], [member msgs])
     for msg in lines:
-        tokens = msg.split()
+        tokens = msg.split(" ")
         key_parts = [str(len(tokens))]
         for i in range(depth - 1):
-            t = tokens[i] if i < len(tokens) else ""
-            key_parts.append("<*>" if re.search(r"\d", t) else t)
+            key_parts.append(tokens[i] if i < len(tokens) else "")
         node = tree
         for part in key_parts:
             node = node.setdefault(part, {})
@@ -94,6 +99,12 @@ LINES = [
     "shutdown complete",
     "shutdown complete",          # exact duplicate: must not re-cluster
     "connected to host alpha on port 8080",   # duplicate of line 0
+    # whitespace-hostile variants (review find): a leading tab, a CRLF
+    # tail, and an interior double space must canonicalize into the SAME
+    # leaf/cluster as their clean siblings, not route under a phantom
+    # empty token
+    "\tconnected to host delta on port 7070\r",
+    "connected  to host echo on port 6060",
 ]
 
 
@@ -136,6 +147,10 @@ def test_drain_merges_unmasked_literal_slots(spark):
     assert set(hosts["template"]) == {
         "connected to host <*> on port <NUM>"}
     assert hosts["cluster_id"].nunique() == 1
+    # the tab/CRLF/double-space variants canonicalized into this cluster
+    assert {"connected to host delta on port <NUM>",
+            "connected to host echo on port <NUM>"} <= set(
+        hosts["masked_msg"])
     # duplicates weighted, not re-clustered
     alpha = hosts[hosts["masked_msg"].str.contains("alpha")]
     assert int(alpha["n_lines"].iloc[0]) == 2

@@ -201,7 +201,8 @@ def test_ivfpq_encoded_frame_is_narrow_and_reusable(spark):
     cents = sim.fit_centroids(corpus, dim, n_cells=8)
     enc = sim.ivfpq_encode(corpus, dim, books, n_cells=8,
                            corpus_probe=2, centroids=cents)
-    assert set(enc.columns) == {"vec_id", "cell", "codes"}  # no vector
+    # no vector; _pq_geom is a constant literal stamp, not payload
+    assert set(enc.columns) == {"vec_id", "cell", "codes", "_pq_geom"}
     assert enc.count() == 2 * corpus.count()                # 2 cells each
     queries = corpus.where("vec_id % 41 = 0").limit(4)
     a = sim.ivfpq_topk(corpus, queries, dim, books, k=5, n_cells=8,
@@ -265,3 +266,23 @@ def test_ivfpq_rerank_recovers_exact_ivf_ranking(spark):
     adc = sim.ivfpq_topk(emb, queries, dim=dim, codebooks=books, k=5,
                          centroids=cents)
     assert recall(rr, "vec_id") >= recall(adc, "vec_id")
+
+
+def test_ivfpq_topk_rejects_geometry_mismatched_encoding(spark):
+    """A persisted encoding built with normalize=False must not be
+    scanned with normalize=True LUTs (review find: mixed geometries
+    return silently wrong neighbors)."""
+    corpus = _corpus(spark)
+    dim = _dim(spark)
+    books = sim.fit_pq_codebooks(corpus, dim, m=8, k=16)
+    cents = sim.fit_centroids(corpus, dim, n_cells=8)
+    enc_raw = sim.ivfpq_encode(corpus, dim, books, n_cells=8,
+                               centroids=cents, normalize=False)
+    queries = corpus.where("vec_id < 3")
+    with pytest.raises(ValueError, match="geometry"):
+        sim.ivfpq_topk(corpus, queries, dim, books, k=3, n_cells=8,
+                       centroids=cents, encoded=enc_raw)  # normalize=True
+    # matching flags pass
+    ok = sim.ivfpq_topk(corpus, queries, dim, books, k=3, n_cells=8,
+                        centroids=cents, encoded=enc_raw, normalize=False)
+    assert ok.count() > 0
