@@ -182,3 +182,28 @@ def test_drain_deterministic_across_runs(spark):
         _spark_logs(spark).repartition(7)).toPandas() \
         .sort_values("masked_msg").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_drain_template_positional_invariants(spark):
+    """Structural laws every Drain output must satisfy, independent of
+    the reference: (a) a template has exactly as many tokens as each
+    member message; (b) at every non-wildcard position the template token
+    equals the member's token; (c) a cluster's template is the positional
+    intersection of its members (token kept iff ALL members agree)."""
+    got = drain.drain_templates(_spark_logs(spark)).toPandas()
+    for _, r in got.iterrows():
+        mt, tt = r["masked_msg"].split(" "), r["template"].split(" ")
+        assert len(mt) == len(tt), r["masked_msg"]
+        for a, b in zip(tt, mt):
+            assert a == drain.WILDCARD or a == b, (r["template"],
+                                                  r["masked_msg"])
+    for cid, grp in got.groupby("cluster_id"):
+        toks = [m.split(" ") for m in grp["masked_msg"]]
+        tmpl = grp["template"].iloc[0].split(" ")
+        assert (grp["template"] == grp["template"].iloc[0]).all()
+        for pos, t in enumerate(tmpl):
+            vals = {m[pos] for m in toks}
+            if t != drain.WILDCARD:
+                assert vals == {t}, (cid, pos)
+            else:
+                assert len(vals) > 1 or drain.WILDCARD in vals, (cid, pos)
