@@ -1,0 +1,268 @@
+"""Snapshot-versioned parquet tables — the Iceberg COMMIT SEMANTICS the
+north rule names, implemented over plain parquet + JSON manifests because
+the sandbox image carries no iceberg-spark-runtime jar (re-probed every
+round; BENCH/BASELINE.md "Iceberg sink status"). When the jar exists,
+every call site swaps to `.format("iceberg")` and this module retires;
+until then it provides the semantics users of an Iceberg sink actually
+rely on, each with the same contract:
+
+- **atomic commit**: data files land in a staging dir, then ONE manifest
+  file (the commit point) is created with ``O_CREAT|O_EXCL`` and the
+  ``CURRENT`` pointer is swapped by ``os.rename`` — readers see the old
+  version or the new one, never a half-written mix (Iceberg's
+  root-pointer swap; same rename-swap primitive as
+  ``compaction._swap_dirs``).
+- **optimistic concurrency**: the manifest's version number is the lock.
+  Two writers racing to commit version N+1 both try to exclusively
+  create ``v000N+1.json``; the loser gets :class:`CommitConflict`
+  (Iceberg's CAS on the catalog pointer).
+- **time travel**: ``read_snapshot(..., version=)`` / ``as_of_ts=`` read
+  the exact file list a past manifest pinned.
+- **rollback**: a NEW version whose file list is an old version's —
+  history is append-only, like ``rollback_to_snapshot``.
+- **expiry**: ``expire_snapshots`` drops old manifests and
+  garbage-collects data files no surviving manifest references.
+
+Scale shape: manifests are O(files) JSON — the listing a 1000-executor
+read plans from without a directory scan; data files are written by
+executors in parallel (one ``df.write`` per commit), and a read is an
+explicit-path parquet scan (partition pruning and column pruning apply
+as usual). Single-table, filesystem-atomic (POSIX rename) — the
+documented stand-in scope.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic-lock loss).
+    Retry: re-read the current version and re-commit on top of it."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    ts: float
+    operation: str
+    files: list
+    rows: int
+    parent: int | None
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, "_snapshots")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_snap_dir(path), f"v{version:06d}.json")
+
+
+def _current_path(path: str) -> str:
+    return os.path.join(_snap_dir(path), "CURRENT")
+
+
+def current_version(path: str) -> int | None:
+    """The committed version, or None for an empty/uninitialized table."""
+    try:
+        with open(_current_path(path)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _load_manifest(path: str, version: int) -> Snapshot:
+    try:
+        with open(_manifest_path(path, version)) as fh:
+            d = json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"snapshot v{version} of {path} does not exist (expired or "
+            "never committed)"
+        ) from None
+    return Snapshot(
+        version=d["version"], ts=d["ts"], operation=d["operation"],
+        files=d["files"], rows=d["rows"], parent=d.get("parent"),
+    )
+
+
+def commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    expected_version: int | None = ...,
+) -> Snapshot:
+    """Write ``df`` as the next snapshot of the table at ``path``.
+
+    ``mode="append"`` adds the new files to the current file list;
+    ``"overwrite"`` replaces it. ``expected_version`` (optional) asserts
+    the version this commit builds on — pass the version you read to get
+    compare-and-swap semantics across a read-modify-write; by default the
+    commit builds on whatever is current (blind append, Iceberg's
+    fast-append). Raises :class:`CommitConflict` when the next version's
+    manifest already exists (a racing writer won).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    cur = current_version(path)
+    if expected_version is not ... and expected_version != cur:
+        raise CommitConflict(
+            f"table moved: expected v{expected_version}, current is v{cur}")
+
+    # stage the data files, then move them under data/ with a commit-local
+    # prefix (a failed commit leaves only unreferenced files for expiry)
+    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    new_version = (cur or 0) + 1
+    prefix = f"c{new_version:06d}-{uuid.uuid4().hex[:8]}"
+    new_files, rows = [], 0
+    import pyarrow.parquet as pq
+
+    for i, name in enumerate(sorted(os.listdir(stage))):
+        if not name.endswith(".parquet"):
+            continue
+        rel = os.path.join("data", f"{prefix}-{i:05d}.parquet")
+        os.rename(os.path.join(stage, name), os.path.join(path, rel))
+        rows += pq.read_metadata(os.path.join(path, rel)).num_rows
+        new_files.append(rel)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    base = [] if mode == "overwrite" or cur is None else \
+        _load_manifest(path, cur).files
+    base_rows = 0 if mode == "overwrite" or cur is None else \
+        _load_manifest(path, cur).rows
+    manifest = {
+        "version": new_version,
+        "ts": time.time(),
+        "operation": mode,
+        "files": base + new_files,
+        "rows": base_rows + rows,
+        "parent": cur,
+    }
+    # the commit point: exclusive-create the manifest (optimistic lock),
+    # then swap CURRENT via rename (atomic on POSIX)
+    try:
+        fd = os.open(_manifest_path(path, new_version),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version v{new_version} of {path} was committed concurrently"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    tmp = _current_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp, _current_path(path))
+    return _load_manifest(path, new_version)
+
+
+def snapshots(path: str) -> list:
+    """Committed history, oldest first (expired versions absent)."""
+    try:
+        names = sorted(os.listdir(_snap_dir(path)))
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            out.append(_load_manifest(path, int(n[1:-5])))
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+) -> DataFrame:
+    """Read the table as of a version (time travel). Default: current.
+    ``as_of_ts`` resolves to the latest snapshot committed at or before
+    that timestamp."""
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass version OR as_of_ts, not both")
+    if as_of_ts is not None:
+        eligible = [s for s in snapshots(path) if s.ts <= as_of_ts]
+        if not eligible:
+            raise ValueError(f"no snapshot of {path} at or before {as_of_ts}")
+        version = eligible[-1].version
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise ValueError(f"{path} has no committed snapshots")
+    snap = _load_manifest(path, version)
+    if not snap.files:
+        # empty table: preserve an empty-but-typed read via the manifest?
+        # no schema is pinned — mirror parquet's behavior and fail loudly
+        raise ValueError(f"snapshot v{version} of {path} lists no files")
+    return spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
+
+
+def rollback(path: str, version: int) -> Snapshot:
+    """Commit a NEW version whose content is ``version``'s file list —
+    history stays append-only (Iceberg rollback_to_snapshot)."""
+    old = _load_manifest(path, version)
+    cur = current_version(path)
+    new_version = (cur or 0) + 1
+    manifest = {
+        "version": new_version, "ts": time.time(),
+        "operation": f"rollback-to-v{version}",
+        "files": old.files, "rows": old.rows, "parent": cur,
+    }
+    try:
+        fd = os.open(_manifest_path(path, new_version),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version v{new_version} of {path} was committed concurrently"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    tmp = _current_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp, _current_path(path))
+    return _load_manifest(path, new_version)
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Drop all but the last ``keep_last`` snapshots and delete data files
+    no surviving manifest references. The CURRENT version always
+    survives. Returns {expired_versions, deleted_files}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    hist = snapshots(path)
+    if len(hist) <= keep_last:
+        return {"expired_versions": [], "deleted_files": 0}
+    cur = current_version(path)
+    keep = hist[-keep_last:]
+    if cur is not None and cur not in {s.version for s in keep}:
+        keep.append(_load_manifest(path, cur))
+    keep_versions = {s.version for s in keep}
+    expired = [s for s in hist if s.version not in keep_versions]
+    referenced = {f for s in keep for f in s.files}
+    deleted = 0
+    for s in expired:
+        for f in s.files:
+            if f not in referenced:
+                try:
+                    os.remove(os.path.join(path, f))
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+        os.remove(_manifest_path(path, s.version))
+    return {
+        "expired_versions": [s.version for s in expired],
+        "deleted_files": deleted,
+    }

@@ -1,0 +1,115 @@
+"""Snapshot-versioned parquet tables (sources/snapshots.py) — the
+Iceberg-commit-semantics stand-in: atomic manifest commits, optimistic
+concurrency, time travel, append-only rollback, and snapshot expiry with
+data-file garbage collection."""
+
+import json
+import os
+import time
+
+import pytest
+
+from hypertrace_ingester_spark.sources import snapshots as sn
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 10 as v")
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = sn.commit(_df(spark, 0, 5), t)
+    assert (s1.version, s1.rows, s1.operation) == (1, 5, "append")
+    s2 = sn.commit(_df(spark, 5, 8), t)               # append
+    assert (s2.version, s2.rows) == (2, 8)
+    s3 = sn.commit(_df(spark, 100, 102), t, mode="overwrite")
+    assert (s3.version, s3.rows) == (3, 2)
+
+    # current read = overwritten content
+    assert sorted(r["id"] for r in sn.read_snapshot(spark, t).collect()) \
+        == [100, 101]
+    # time travel by version
+    assert sorted(r["id"] for r in
+                  sn.read_snapshot(spark, t, version=2).collect()) \
+        == list(range(8))
+    assert sorted(r["id"] for r in
+                  sn.read_snapshot(spark, t, version=1).collect()) \
+        == list(range(5))
+    # time travel by timestamp
+    got = sn.read_snapshot(spark, t, as_of_ts=s2.ts + 1e-4)
+    assert got.count() == 8
+    # history is complete and ordered
+    assert [s.version for s in sn.snapshots(t)] == [1, 2, 3]
+    assert [s.parent for s in sn.snapshots(t)] == [None, 1, 2]
+
+
+def test_rollback_is_append_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.commit(_df(spark, 0, 4), t)
+    sn.commit(_df(spark, 50, 51), t, mode="overwrite")
+    rb = sn.rollback(t, 1)
+    assert rb.version == 3 and rb.operation == "rollback-to-v1"
+    assert sorted(r["id"] for r in sn.read_snapshot(spark, t).collect()) \
+        == [0, 1, 2, 3]
+    # the overwritten middle version is still readable (history kept)
+    assert sn.read_snapshot(spark, t, version=2).count() == 1
+
+
+def test_commit_conflict_and_cas(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.commit(_df(spark, 0, 3), t)
+    # a racing writer already created v2's manifest -> loser must raise
+    os.makedirs(os.path.join(t, "_snapshots"), exist_ok=True)
+    with open(os.path.join(t, "_snapshots", "v000002.json"), "w") as fh:
+        json.dump({"version": 2, "ts": time.time(), "operation": "append",
+                   "files": [], "rows": 0, "parent": 1}, fh)
+    with pytest.raises(sn.CommitConflict, match="concurrently"):
+        sn.commit(_df(spark, 3, 6), t)
+    # CAS: a read-modify-write pinned to a stale version must conflict
+    os.remove(os.path.join(t, "_snapshots", "v000002.json"))
+    sn.commit(_df(spark, 3, 6), t)                    # now v2 for real
+    with pytest.raises(sn.CommitConflict, match="table moved"):
+        sn.commit(_df(spark, 6, 9), t, expected_version=1)
+    # correct expectation passes
+    s = sn.commit(_df(spark, 6, 9), t, expected_version=2)
+    assert s.version == 3 and s.rows == 9
+
+
+def test_commit_point_is_atomic(spark, tmp_path):
+    """CURRENT only ever names a fully-written manifest: after any number
+    of commits, the pointer's target manifest exists and parses, and no
+    stage directories survive."""
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        sn.commit(_df(spark, i * 2, i * 2 + 2), t)
+        v = sn.current_version(t)
+        m = os.path.join(t, "_snapshots", f"v{v:06d}.json")
+        assert os.path.exists(m) and json.load(open(m))["version"] == v
+    assert not [d for d in os.listdir(t) if d.startswith("_stage-")]
+    # every referenced file exists
+    for s in sn.snapshots(t):
+        for f in s.files:
+            assert os.path.exists(os.path.join(t, f)), f
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.commit(_df(spark, 0, 3), t)
+    sn.commit(_df(spark, 100, 103), t, mode="overwrite")  # orphans v1 files
+    sn.commit(_df(spark, 103, 104), t)
+    before = sum(1 for f in os.listdir(os.path.join(t, "data")))
+    out = sn.expire_snapshots(t, keep_last=2)
+    assert out["expired_versions"] == [1]
+    assert out["deleted_files"] >= 1                  # v1's files GC'd
+    after = sum(1 for f in os.listdir(os.path.join(t, "data")))
+    assert after == before - out["deleted_files"]
+    # current + kept history still read fine; expired version raises
+    assert sn.read_snapshot(spark, t).count() == 4
+    assert sn.read_snapshot(spark, t, version=2).count() == 3
+    with pytest.raises(ValueError, match="expired or never"):
+        sn.read_snapshot(spark, t, version=1)
+    # CURRENT is never expired even if keep_last would drop it
+    sn.rollback(t, 2)
+    out2 = sn.expire_snapshots(t, keep_last=1)
+    assert sn.current_version(t) not in out2["expired_versions"]
+    assert sn.read_snapshot(spark, t).count() == 3
