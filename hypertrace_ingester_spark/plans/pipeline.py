@@ -62,6 +62,14 @@ class PipelineConfig:
     # re-scanning with column pruning beats caching the full token payload.
     cache_parse: bool = False
     use_pandas_grok: bool = False
+    # STREAMING ONLY, opt-in: commit each micro-batch's routed rows to a
+    # snapshot-versioned table (out_dir/routed_snap) with the idempotent
+    # batch_id gate — a foreachBatch retry replay no-ops, upgrading the
+    # routed sink from parquet-append at-least-once to exactly-once (the
+    # Iceberg recipe; sources/snapshots.py is the in-sandbox stand-in).
+    # The sink lands as ONE table with `sink` as a column (snapshot
+    # manifests replace partition dirs as the pruning metadata).
+    snapshot_routed: bool = False
 
 
 # the pre-keyed layout's key: the (tenant, trace_id) analog for sequences

@@ -16,9 +16,13 @@ user of the reference's always-on ingester would run:
     q.awaitTermination()
 
 Exactly-once notes: ``foreachBatch`` + parquet append gives at-least-once
-on retries (the reference's Kafka Streams default is also ALOS); swap the
-sink for Iceberg ``writeTo(...).append()`` inside the same hook for
-idempotent commits at scale.
+on retries (the reference's Kafka Streams default is also ALOS). With
+``cfg.snapshot_routed=True`` the routed sink instead commits each batch to
+a snapshot-versioned table with an idempotent ``batch_id`` gate
+(``sources/snapshots.commit_stream_batch``) — a retry replay no-ops, which
+is exactly-once; the same hook swaps to Iceberg ``writeTo(...).append()``
+(whose idempotent commits use the identical recipe) when the runtime jar
+exists.
 """
 
 from __future__ import annotations
@@ -68,9 +72,20 @@ def process_batch(
     from ..operators import aggregate as agg_ops
 
     routed = _batch_stages(batch_df, cfg, ctx, route_rules)
-    route_ops.fan_out(
-        routed, os.path.join(cfg.out_dir, "routed"), cfg.salt_buckets, mode="append"
-    )
+    if cfg.snapshot_routed:
+        # exactly-once: idempotent snapshot commit keyed by batch_id — a
+        # foreachBatch retry replay of an already-landed batch no-ops
+        # (sources/snapshots.py; the Iceberg recipe, stood-in locally)
+        from ..sources import snapshots as snap
+
+        snap.commit_stream_batch(
+            routed, os.path.join(cfg.out_dir, "routed_snap"), batch_id
+        )
+    else:
+        route_ops.fan_out(
+            routed, os.path.join(cfg.out_dir, "routed"), cfg.salt_buckets,
+            mode="append",
+        )
     agg_ops.sink_metrics(routed, cfg.metric_window_ms).write.mode("overwrite").parquet(
         os.path.join(cfg.out_dir, "metrics", f"batch_id={batch_id}")
     )

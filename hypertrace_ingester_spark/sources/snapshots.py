@@ -56,6 +56,7 @@ class Snapshot:
     files: list
     rows: int
     parent: int | None
+    batch_id: int | None = None
 
 
 def _snap_dir(path: str) -> str:
@@ -91,6 +92,7 @@ def _load_manifest(path: str, version: int) -> Snapshot:
     return Snapshot(
         version=d["version"], ts=d["ts"], operation=d["operation"],
         files=d["files"], rows=d["rows"], parent=d.get("parent"),
+        batch_id=d.get("batch_id"),
     )
 
 
@@ -99,6 +101,7 @@ def commit(
     path: str,
     mode: str = "append",
     expected_version: int | None = ...,
+    batch_id: int | None = None,
 ) -> Snapshot:
     """Write ``df`` as the next snapshot of the table at ``path``.
 
@@ -149,6 +152,7 @@ def commit(
         "files": base + new_files,
         "rows": base_rows + rows,
         "parent": cur,
+        "batch_id": batch_id,
     }
     # the commit point: exclusive-create the manifest (optimistic lock),
     # then swap CURRENT via rename (atomic on POSIX)
@@ -166,6 +170,29 @@ def commit(
         fh.write(str(new_version))
     os.rename(tmp, _current_path(path))
     return _load_manifest(path, new_version)
+
+
+def commit_stream_batch(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    mode: str = "append",
+) -> Snapshot | None:
+    """Idempotent micro-batch commit — the Iceberg exactly-once
+    ``foreachBatch`` recipe: micro-batch ids are monotone, so a batch
+    whose id is ≤ the table's highest committed ``batch_id`` is a RETRY
+    REPLAY of work that already landed, and the commit no-ops (returns
+    None). Structured Streaming re-runs a failed batch with the same id
+    after restart; with a plain parquet append that double-appends
+    (at-least-once) — with this gate the routed sink is exactly-once.
+
+    The check reads the manifest history (O(versions) tiny JSONs), not
+    the data."""
+    committed = [s.batch_id for s in snapshots(path)
+                 if s.batch_id is not None]
+    if committed and batch_id <= max(committed):
+        return None
+    return commit(df, path, mode=mode, batch_id=batch_id)
 
 
 def snapshots(path: str) -> list:

@@ -113,3 +113,69 @@ def test_expire_snapshots_gc(spark, tmp_path):
     out2 = sn.expire_snapshots(t, keep_last=1)
     assert sn.current_version(t) not in out2["expired_versions"]
     assert sn.read_snapshot(spark, t).count() == 3
+
+
+def test_commit_stream_batch_is_idempotent(spark, tmp_path):
+    """The exactly-once gate: a retry replay (same batch_id) no-ops; a
+    later batch id lands; an OLDER id (impossible in practice, but the
+    monotone contract) also no-ops."""
+    t = str(tmp_path / "tbl")
+    s = sn.commit_stream_batch(_df(spark, 0, 4), t, batch_id=0)
+    assert s is not None and s.batch_id == 0
+    assert sn.commit_stream_batch(_df(spark, 0, 4), t, batch_id=0) is None
+    assert sn.read_snapshot(spark, t).count() == 4       # no double-append
+    s2 = sn.commit_stream_batch(_df(spark, 4, 6), t, batch_id=1)
+    assert s2.batch_id == 1
+    assert sn.commit_stream_batch(_df(spark, 9, 10), t, batch_id=0) is None
+    assert sn.read_snapshot(spark, t).count() == 6
+
+
+def test_streaming_pipeline_snapshot_sink_exactly_once(spark, tmp_path):
+    """End to end: snapshot_routed=True lands every micro-batch exactly
+    once (row totals match the batch pipeline), and a manual replay of an
+    already-committed batch through process_batch changes nothing."""
+    from pyspark.sql import functions as F
+
+    from hypertrace_ingester_spark import datagen
+    from hypertrace_ingester_spark.operators import enrich as enrich_ops
+    from hypertrace_ingester_spark.plans.pipeline import (
+        PipelineConfig, run_pipeline)
+    from hypertrace_ingester_spark.plans.streaming_pipeline import (
+        process_batch, run_streaming_pipeline)
+
+    seqs = datagen.generate_sequences(spark, 1500)
+    in_dir = str(tmp_path / "snap_seqs")
+    seqs.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(seqs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    out = str(tmp_path / "snap_out")
+    cfg = PipelineConfig(out_dir=out, snapshot_routed=True)
+    run_streaming_pipeline(spark, stream, cfg).awaitTermination(180)
+
+    table = out + "/routed_snap"
+    hist = sn.snapshots(table)
+    assert len(hist) >= 2                      # several micro-batches
+    assert [s.batch_id for s in hist] == sorted(
+        s.batch_id for s in hist)              # monotone ids recorded
+
+    batch_out = str(tmp_path / "snap_batch_out")
+    m = run_pipeline(spark, spark.read.parquet(in_dir),
+                     PipelineConfig(out_dir=batch_out))
+    got = {r["sink"]: r["n"] for r in
+           sn.read_snapshot(spark, table).groupBy("sink")
+           .agg(F.count("*").alias("n")).collect()}
+    assert got == m["stages"]["route"]["sink_counts"]
+
+    # replay an already-committed batch id: exactly-once means a no-op
+    ctx = enrich_ops.EnrichContext(
+        endpoints=datagen.endpoints_dim(spark),
+        services=datagen.services_dim(spark),
+        status_codes=datagen.status_codes_dim(spark),
+    )
+    before = sn.read_snapshot(spark, table).count()
+    process_batch(spark.read.parquet(in_dir), hist[0].batch_id, cfg, ctx,
+                  datagen.route_rules_dim(spark))
+    assert sn.read_snapshot(spark, table).count() == before
+    assert len(sn.snapshots(table)) == len(hist)
