@@ -57,6 +57,7 @@ class Snapshot:
     rows: int
     parent: int | None
     batch_id: int | None = None
+    schema_json: str | None = None
 
 
 def _snap_dir(path: str) -> str:
@@ -92,7 +93,7 @@ def _load_manifest(path: str, version: int) -> Snapshot:
     return Snapshot(
         version=d["version"], ts=d["ts"], operation=d["operation"],
         files=d["files"], rows=d["rows"], parent=d.get("parent"),
-        batch_id=d.get("batch_id"),
+        batch_id=d.get("batch_id"), schema_json=d.get("schema"),
     )
 
 
@@ -122,6 +123,21 @@ def commit(
     if expected_version is not ... and expected_version != cur:
         raise CommitConflict(
             f"table moved: expected v{expected_version}, current is v{cur}")
+    # schema enforcement (Iceberg writes are schema-checked): an append
+    # must match the table's current schema exactly — silently unioning
+    # mismatched parquet files would surface as nulls/corruption at read
+    # time. Overwrite SETS a new schema (the evolution path: rewrite with
+    # the new shape; per-version schemas make old snapshots read with
+    # their own schema).
+    if mode == "append" and cur is not None:
+        prev = _load_manifest(path, cur)
+        if prev.schema_json is not None and \
+                prev.schema_json != df.schema.json():
+            raise ValueError(
+                f"append schema mismatch vs v{cur} of {path}: table has "
+                f"{prev.schema_json} but frame has {df.schema.json()} — "
+                "overwrite to change the schema"
+            )
 
     # stage the data files, then move them under data/ with a commit-local
     # prefix (a failed commit leaves only unreferenced files for expiry)
@@ -153,6 +169,7 @@ def commit(
         "rows": base_rows + rows,
         "parent": cur,
         "batch_id": batch_id,
+        "schema": df.schema.json(),
     }
     # the commit point: exclusive-create the manifest (optimistic lock),
     # then swap CURRENT via rename (atomic on POSIX)
@@ -230,9 +247,15 @@ def read_snapshot(
             raise ValueError(f"{path} has no committed snapshots")
     snap = _load_manifest(path, version)
     if not snap.files:
-        # empty table: preserve an empty-but-typed read via the manifest?
-        # no schema is pinned — mirror parquet's behavior and fail loudly
-        raise ValueError(f"snapshot v{version} of {path} lists no files")
+        # empty snapshot: typed-empty read from the pinned schema
+        if snap.schema_json is None:
+            raise ValueError(
+                f"snapshot v{version} of {path} lists no files and pins "
+                "no schema")
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(snap.schema_json)))
     return spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
 
 
@@ -246,6 +269,7 @@ def rollback(path: str, version: int) -> Snapshot:
         "version": new_version, "ts": time.time(),
         "operation": f"rollback-to-v{version}",
         "files": old.files, "rows": old.rows, "parent": cur,
+        "schema": old.schema_json,
     }
     try:
         fd = os.open(_manifest_path(path, new_version),

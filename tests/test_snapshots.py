@@ -179,3 +179,27 @@ def test_streaming_pipeline_snapshot_sink_exactly_once(spark, tmp_path):
                   datagen.route_rules_dim(spark))
     assert sn.read_snapshot(spark, table).count() == before
     assert len(sn.snapshots(table)) == len(hist)
+
+
+def test_schema_enforcement_and_empty_reads(spark, tmp_path):
+    """Appends are schema-checked (Iceberg write contract): a mismatched
+    frame raises instead of silently unioning; overwrite SETS the new
+    schema; every version reads with ITS OWN schema (per-version
+    evolution); an empty commit still reads typed."""
+    t = str(tmp_path / "tbl")
+    sn.commit(_df(spark, 0, 3), t)
+    bad = spark.range(3, 5).selectExpr("id", "cast(id as string) as v")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sn.commit(bad, t)                       # append, wrong type for v
+    sn.commit(bad, t, mode="overwrite")         # evolution via overwrite
+    assert sn.read_snapshot(spark, t).schema["v"].dataType.simpleString() \
+        == "string"
+    # time travel returns the OLD schema
+    assert sn.read_snapshot(spark, t, version=1) \
+        .schema["v"].dataType.simpleString() == "bigint"
+    # empty table: typed-empty frame from the pinned schema
+    t2 = str(tmp_path / "empty")
+    sn.commit(_df(spark, 0, 0), t2)
+    out = sn.read_snapshot(spark, t2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["id", "v"]
