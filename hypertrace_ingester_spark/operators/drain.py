@@ -101,6 +101,7 @@ def drain_templates(
     order_col: str = "event_id",
     depth: int = 4,
     sim_threshold: float = 0.5,
+    max_leaf_msgs: int = 100_000,
 ) -> DataFrame:
     """Mine Drain templates over a log frame.
 
@@ -114,6 +115,17 @@ def drain_templates(
     ``order_col`` pins first-occurrence order (online Drain's cluster
     evolution is order-sensitive; a deterministic order column makes the
     batch result reproducible run-to-run and against the test oracle).
+
+    ``max_leaf_msgs`` bounds a leaf's in-memory work against the
+    adversarial case (high-entropy corpora where distinct masked messages
+    grow with the corpus — random tokens of one length share a leaf):
+    only the first ``max_leaf_msgs`` distinct messages per leaf (by first
+    occurrence) may FOUND clusters; later messages still assign to their
+    best existing cluster when similarity clears the threshold, and fall
+    to a per-leaf ``#overflow`` cluster otherwise (Drain3's bounded
+    max_clusters, deterministic instead of LRU). Overflow rows are
+    visibly labeled — at 100 TB a leaf that overflows is telling you the
+    field isn't log-shaped, not asking for more memory.
 
     Scale shape: one map pass (mask + tokenize), one partial-agg'd
     shuffle to distinct-message grain (count + min(order) fold map-side),
@@ -143,7 +155,8 @@ def drain_templates(
             drop=True)
         clusters: List[List[str]] = []
         assign: List[int] = []
-        for msg in pdf["masked_msg"]:
+        OVERFLOW = -2
+        for row_i, msg in enumerate(pdf["masked_msg"]):
             # masked_msg is whitespace-canonical (single spaces only) —
             # split on the literal space, matching the JVM routing split
             tokens = msg.split(" ")
@@ -155,13 +168,23 @@ def drain_templates(
             if best >= 0 and best_sim >= st:
                 clusters[best] = merge_template(clusters[best], tokens)
                 assign.append(best)
-            else:
+            elif row_i < max_leaf_msgs:
                 clusters.append(list(tokens))
                 assign.append(len(clusters) - 1)
+            else:
+                # bounded-leaf guard: past the founding cap, non-matching
+                # messages land in the labeled overflow bucket
+                assign.append(OVERFLOW)
         leaf = pdf["leaf_key"].iloc[0] if len(pdf) else ""
         out = pdf.copy()
-        out["cluster_id"] = [f"{leaf}#{i}" for i in assign]
-        out["template"] = [" ".join(clusters[i]) for i in assign]
+        out["cluster_id"] = [
+            f"{leaf}#overflow" if i == OVERFLOW else f"{leaf}#{i}"
+            for i in assign
+        ]
+        out["template"] = [
+            WILDCARD if i == OVERFLOW else " ".join(clusters[i])
+            for i in assign
+        ]
         return out[["leaf_key", "masked_msg", "cluster_id", "template",
                     "n_lines", "first_id"]]
 

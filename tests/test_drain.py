@@ -207,3 +207,35 @@ def test_drain_template_positional_invariants(spark):
                 assert vals == {t}, (cid, pos)
             else:
                 assert len(vals) > 1 or drain.WILDCARD in vals, (cid, pos)
+
+
+def test_drain_bounded_leaf_overflow(spark):
+    """max_leaf_msgs bounds per-leaf founding: past the cap, messages
+    that match an existing cluster still assign normally; non-matching
+    ones land in the labeled #overflow bucket instead of founding new
+    clusters without bound (the high-entropy-corpus guard)."""
+    # variant slots must sit PAST the depth-1=3 routing tokens (and past
+    # the masks: letters, not digits) or the rows land in different leaves
+    letters = "abcdef"
+    rows = [(i, f"alpha beta gamma {letters[i]} delta")                # merge
+            for i in range(6)]
+    rows += [(100 + i, f"p q r s{c} t{c} u{c} v{c}")                   # chaos:
+             for i, c in enumerate(letters)]  # sim 3/7 < 0.5 pairwise
+    logs = spark.createDataFrame(rows, "event_id long, summary string")
+    got = drain.drain_templates(logs, max_leaf_msgs=3).toPandas()
+    over = got[got["cluster_id"].str.endswith("#overflow")]
+    # the alpha-beta family merged into one cluster regardless of the cap
+    fam = got[got["masked_msg"].str.startswith("alpha beta")]
+    assert fam["cluster_id"].nunique() == 1
+    assert set(fam["template"]) == {"alpha beta gamma <*> delta"}, \
+        set(fam["template"])
+    # the chaos rows (pairwise similarity 0) founded only up to the cap;
+    # the rest are overflow, visibly labeled, template = bare wildcard
+    chaos = got[got["masked_msg"].str.startswith("p q r")]
+    founded = chaos[~chaos["cluster_id"].str.endswith("#overflow")]
+    assert len(founded) <= 3
+    assert len(over) >= 1
+    assert set(over["template"]) == {drain.WILDCARD}
+    # default cap leaves ordinary corpora untouched
+    base = drain.drain_templates(logs).toPandas()
+    assert not base["cluster_id"].str.endswith("#overflow").any()
