@@ -97,6 +97,64 @@ def _load_manifest(path: str, version: int) -> Snapshot:
     )
 
 
+def _schema_key(schema_json: str):
+    """Name+type structural key for schema comparison: nullability and
+    field metadata are stripped recursively (Iceberg-style by-name/type
+    check — a non-nullable frame writes fine into a nullable table; exact
+    JSON equality would reject it)."""
+    def strip(node):
+        if isinstance(node, dict):
+            return {k: strip(v) for k, v in node.items()
+                    if k not in ("nullable", "metadata", "containsNull",
+                                 "valueContainsNull")}
+        if isinstance(node, list):
+            return [strip(v) for v in node]
+        return node
+
+    return json.dumps(strip(json.loads(schema_json)), sort_keys=True)
+
+
+def _commit_manifest(path: str, new_version: int, manifest: dict) -> Snapshot:
+    """The commit point, shared by every write path: exclusive-create the
+    manifest (optimistic lock), then swap CURRENT via rename (atomic on
+    POSIX)."""
+    try:
+        fd = os.open(_manifest_path(path, new_version),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version v{new_version} of {path} was committed concurrently"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    tmp = _current_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp, _current_path(path))
+    return _load_manifest(path, new_version)
+
+
+def _stage_files(df: DataFrame, path: str, new_version: int):
+    """Write ``df``'s parquet files under data/ with a commit-local prefix;
+    returns (relative paths, total rows). A failed commit leaves only
+    unreferenced files for expiry."""
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    prefix = f"c{new_version:06d}-{uuid.uuid4().hex[:8]}"
+    new_files, rows = [], 0
+    for i, name in enumerate(sorted(os.listdir(stage))):
+        if not name.endswith(".parquet"):
+            continue
+        rel = os.path.join("data", f"{prefix}-{i:05d}.parquet")
+        os.rename(os.path.join(stage, name), os.path.join(path, rel))
+        rows += pq.read_metadata(os.path.join(path, rel)).num_rows
+        new_files.append(rel)
+    shutil.rmtree(stage, ignore_errors=True)
+    return new_files, rows
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -132,30 +190,15 @@ def commit(
     if mode == "append" and cur is not None:
         prev = _load_manifest(path, cur)
         if prev.schema_json is not None and \
-                prev.schema_json != df.schema.json():
+                _schema_key(prev.schema_json) != _schema_key(df.schema.json()):
             raise ValueError(
                 f"append schema mismatch vs v{cur} of {path}: table has "
                 f"{prev.schema_json} but frame has {df.schema.json()} — "
                 "overwrite to change the schema"
             )
 
-    # stage the data files, then move them under data/ with a commit-local
-    # prefix (a failed commit leaves only unreferenced files for expiry)
-    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
     new_version = (cur or 0) + 1
-    prefix = f"c{new_version:06d}-{uuid.uuid4().hex[:8]}"
-    new_files, rows = [], 0
-    import pyarrow.parquet as pq
-
-    for i, name in enumerate(sorted(os.listdir(stage))):
-        if not name.endswith(".parquet"):
-            continue
-        rel = os.path.join("data", f"{prefix}-{i:05d}.parquet")
-        os.rename(os.path.join(stage, name), os.path.join(path, rel))
-        rows += pq.read_metadata(os.path.join(path, rel)).num_rows
-        new_files.append(rel)
-    shutil.rmtree(stage, ignore_errors=True)
+    new_files, rows = _stage_files(df, path, new_version)
 
     base = [] if mode == "overwrite" or cur is None else \
         _load_manifest(path, cur).files
@@ -171,22 +214,7 @@ def commit(
         "batch_id": batch_id,
         "schema": df.schema.json(),
     }
-    # the commit point: exclusive-create the manifest (optimistic lock),
-    # then swap CURRENT via rename (atomic on POSIX)
-    try:
-        fd = os.open(_manifest_path(path, new_version),
-                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise CommitConflict(
-            f"version v{new_version} of {path} was committed concurrently"
-        ) from None
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    tmp = _current_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp, _current_path(path))
-    return _load_manifest(path, new_version)
+    return _commit_manifest(path, new_version, manifest)
 
 
 def commit_stream_batch(
@@ -259,6 +287,104 @@ def read_snapshot(
     return spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
 
 
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_col: str,
+    max_keys: int = 1_000_000,
+) -> Snapshot:
+    """Copy-on-write MERGE INTO (upsert by key) as a NEW snapshot — the
+    last leg of the lakehouse DML triad (append/overwrite = commit,
+    DELETE = compaction.delete_ids, MERGE = here): rows of the current
+    snapshot whose ``key_col`` matches an update row are replaced, all
+    other update rows are inserted, and every untouched data file is
+    carried into the new manifest BY REFERENCE — never read, never
+    rewritten (the tests assert byte-identity; time travel still sees the
+    pre-merge rows through the old manifest).
+
+    File pruning mirrors ``delete_ids``: each listed file's parquet
+    footer [min, max] for ``key_col`` is checked driver-side against the
+    sorted update-key list; only intersecting files are re-read,
+    anti-filtered (NULL keys kept — a merge must never drop un-addressed
+    rows), and rewritten together with the updates as new data files.
+    On a by-key-clustered table a narrow upsert touches one file.
+
+    Update keys are collected driver-side under ``max_keys`` (the
+    bounded-collect guard pattern); beyond that, batch the merge. NULL
+    update keys match nothing and insert as plain rows.
+
+    Raises :class:`CommitConflict` under the same optimistic lock as
+    every other commit; append-shape schema enforcement applies."""
+    import bisect
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    cur = current_version(path)
+    if cur is None:
+        return commit(updates, path, mode="append")
+    snap = _load_manifest(path, cur)
+    if snap.schema_json is not None and \
+            _schema_key(snap.schema_json) != \
+            _schema_key(updates.schema.json()):
+        raise ValueError(
+            f"merge schema mismatch vs v{cur} of {path} — updates must "
+            "match the table schema exactly")
+    key_rows = (
+        updates.select(key_col).where(F.col(key_col).isNotNull())
+        .distinct().limit(max_keys + 1).collect()
+    )
+    if len(key_rows) > max_keys:
+        raise ValueError(
+            f"merge_upsert requires a bounded update-key set (> {max_keys} "
+            "distinct keys) — batch the merge")
+    keys = sorted(r[key_col] for r in key_rows)
+
+    untouched, touched, untouched_rows = [], [], 0
+    for rel in snap.files:
+        fpath = os.path.join(path, rel)
+        md = pq.ParquetFile(fpath).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = hi = None
+        if key_col in idx and keys:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[key_col]).statistics
+                if st is None or not st.has_min_max:
+                    lo = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            left = bisect.bisect_left(keys, lo)
+            if left >= len(keys) or keys[left] > hi:
+                untouched.append(rel)
+                untouched_rows += md.num_rows
+                continue
+        elif not keys:
+            untouched.append(rel)
+            untouched_rows += md.num_rows
+            continue
+        touched.append(rel)
+
+    new_version = cur + 1
+    if touched:
+        survivors = spark.read.parquet(
+            *[os.path.join(path, f) for f in touched]
+        ).where(F.col(key_col).isNull() | ~F.col(key_col).isin(keys))
+        to_write = survivors.unionByName(updates)
+    else:
+        to_write = updates
+    new_files, new_rows = _stage_files(to_write, path, new_version)
+    manifest = {
+        "version": new_version, "ts": time.time(), "operation": "merge",
+        "files": untouched + new_files,
+        "rows": untouched_rows + new_rows,
+        "parent": cur, "schema": updates.schema.json(),
+    }
+    return _commit_manifest(path, new_version, manifest)
+
+
 def rollback(path: str, version: int) -> Snapshot:
     """Commit a NEW version whose content is ``version``'s file list —
     history stays append-only (Iceberg rollback_to_snapshot)."""
@@ -271,20 +397,7 @@ def rollback(path: str, version: int) -> Snapshot:
         "files": old.files, "rows": old.rows, "parent": cur,
         "schema": old.schema_json,
     }
-    try:
-        fd = os.open(_manifest_path(path, new_version),
-                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise CommitConflict(
-            f"version v{new_version} of {path} was committed concurrently"
-        ) from None
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    tmp = _current_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp, _current_path(path))
-    return _load_manifest(path, new_version)
+    return _commit_manifest(path, new_version, manifest)
 
 
 def expire_snapshots(path: str, keep_last: int = 2) -> dict:

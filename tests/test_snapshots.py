@@ -203,3 +203,61 @@ def test_schema_enforcement_and_empty_reads(spark, tmp_path):
     out = sn.read_snapshot(spark, t2)
     assert out.count() == 0
     assert [f.name for f in out.schema] == ["id", "v"]
+
+
+def test_merge_upsert_copy_on_write(spark, tmp_path):
+    """MERGE INTO: matched keys replaced, new keys inserted, files whose
+    footer range excludes every update key are carried by reference —
+    byte-identical — and time travel still reads the pre-merge rows."""
+    import hashlib
+
+    t = str(tmp_path / "tbl")
+    # two well-separated files so footer pruning has something to prune
+    sn.commit(spark.range(0, 50).selectExpr("id", "id * 10 as v")
+              .coalesce(1), t)
+    sn.commit(spark.range(1000, 1050).selectExpr("id", "id * 10 as v")
+              .coalesce(1), t)
+    pre = sn.snapshots(t)[-1]
+    hashes_before = {
+        f: hashlib.md5(open(os.path.join(t, f), "rb").read()).hexdigest()
+        for f in pre.files
+    }
+
+    updates = spark.createDataFrame(
+        [(1000, -1), (1001, -2), (7777, -3)], "id long, v long")
+    s = sn.merge_upsert(spark, updates, t, "id")
+    assert s.operation == "merge" and s.rows == 101   # 100 - 2 + 3
+    got = {r["id"]: r["v"] for r in sn.read_snapshot(spark, t).collect()}
+    assert got[1000] == -1 and got[1001] == -2 and got[7777] == -3
+    assert got[1002] == 10020 and got[0] == 0         # untouched rows kept
+    assert len(got) == 101
+
+    # the low-range file was carried by reference, byte-identical
+    carried = [f for f in s.files if f in hashes_before]
+    assert len(carried) == 1
+    f = carried[0]
+    assert hashlib.md5(
+        open(os.path.join(t, f), "rb").read()).hexdigest() == \
+        hashes_before[f]
+
+    # time travel: pre-merge snapshot still shows the old values
+    old = {r["id"]: r["v"] for r in
+           sn.read_snapshot(spark, t, version=pre.version).collect()}
+    assert old[1000] == 10000 and 7777 not in old
+
+    # NULL-keyed update rows insert; NULL-keyed table rows survive a merge
+    null_tbl = str(tmp_path / "nulls")
+    sn.commit(spark.createDataFrame([(None, 1), (5, 2)], "id long, v long"),
+              null_tbl)
+    sn.merge_upsert(spark, spark.createDataFrame(
+        [(5, 20), (None, 30)], "id long, v long"), null_tbl, "id")
+    from collections import Counter
+
+    rows = Counter((r["id"], r["v"]) for r in
+                   sn.read_snapshot(spark, null_tbl).collect())
+    assert rows == Counter([(None, 1), (None, 30), (5, 20)])
+
+    # bounded-keys guard
+    big = spark.range(0, 50).selectExpr("id", "id as v")
+    with pytest.raises(ValueError, match="bounded update-key set"):
+        sn.merge_upsert(spark, big, t, "id", max_keys=10)
