@@ -101,7 +101,7 @@ def drain_templates(
     order_col: str = "event_id",
     depth: int = 4,
     sim_threshold: float = 0.5,
-    max_leaf_msgs: int = 100_000,
+    max_leaf_clusters: int = 100_000,
 ) -> DataFrame:
     """Mine Drain templates over a log frame.
 
@@ -116,16 +116,19 @@ def drain_templates(
     evolution is order-sensitive; a deterministic order column makes the
     batch result reproducible run-to-run and against the test oracle).
 
-    ``max_leaf_msgs`` bounds a leaf's in-memory work against the
+    ``max_leaf_clusters`` bounds a leaf's in-memory work against the
     adversarial case (high-entropy corpora where distinct masked messages
     grow with the corpus — random tokens of one length share a leaf):
-    only the first ``max_leaf_msgs`` distinct messages per leaf (by first
-    occurrence) may FOUND clusters; later messages still assign to their
-    best existing cluster when similarity clears the threshold, and fall
-    to a per-leaf ``#overflow`` cluster otherwise (Drain3's bounded
-    max_clusters, deterministic instead of LRU). Overflow rows are
-    visibly labeled — at 100 TB a leaf that overflows is telling you the
-    field isn't log-shaped, not asking for more memory.
+    once a leaf holds that many clusters, further non-matching messages
+    fall to a per-leaf ``#overflow`` cluster instead of founding new ones
+    (Drain3's bounded max_clusters, deterministic instead of LRU);
+    messages matching an existing cluster always assign normally. The cap
+    counts CLUSTERS, not input rows — a log-shaped leaf with millions of
+    distinct messages folding into a handful of templates never hits it
+    (review find: a row-position cap would mislabel late-arriving
+    legitimate templates). Overflow rows are visibly labeled — at 100 TB
+    a leaf that overflows is telling you the field isn't log-shaped, not
+    asking for more memory.
 
     Scale shape: one map pass (mask + tokenize), one partial-agg'd
     shuffle to distinct-message grain (count + min(order) fold map-side),
@@ -156,7 +159,7 @@ def drain_templates(
         clusters: List[List[str]] = []
         assign: List[int] = []
         OVERFLOW = -2
-        for row_i, msg in enumerate(pdf["masked_msg"]):
+        for msg in pdf["masked_msg"]:
             # masked_msg is whitespace-canonical (single spaces only) —
             # split on the literal space, matching the JVM routing split
             tokens = msg.split(" ")
@@ -168,7 +171,7 @@ def drain_templates(
             if best >= 0 and best_sim >= st:
                 clusters[best] = merge_template(clusters[best], tokens)
                 assign.append(best)
-            elif row_i < max_leaf_msgs:
+            elif len(clusters) < max_leaf_clusters:
                 clusters.append(list(tokens))
                 assign.append(len(clusters) - 1)
             else:

@@ -351,6 +351,23 @@ def cluster_dir(
     return out
 
 
+def footer_range(md, col_pos: int):
+    """Whole-file [min, max] from parquet row-group statistics for the
+    column at ``col_pos``, or None when ANY row group lacks usable stats
+    (the caller must then treat the file as a candidate). ONE copy of the
+    statistics subtleties (missing stats, NULL-only groups), shared by
+    ``delete_ids`` and ``snapshots.merge_upsert`` so fixes cannot drift
+    between the two pruners (review find)."""
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_pos).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def clustering_stats(path: str, column: str) -> dict:
     """Per-file parquet footer [min, max] ranges for ``column`` and how
     clustered they are: ``overlapping_pairs`` counts file pairs whose
@@ -460,15 +477,10 @@ def delete_ids(
             if id_col not in idx:
                 continue
             files_scanned += 1
-            lo, hi, n_rows = None, None, md.num_rows
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[id_col]).statistics
-                if st is None or not st.has_min_max:
-                    lo = None
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            if lo is not None:
+            n_rows = md.num_rows
+            rng = footer_range(md, idx[id_col])
+            if rng is not None:
+                lo, hi = rng
                 # any target inside [lo, hi]? (sorted ids, binary search)
                 left = bisect.bisect_left(ids_sorted, lo)
                 if left >= len(ids_sorted) or ids_sorted[left] > hi:

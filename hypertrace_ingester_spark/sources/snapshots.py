@@ -7,27 +7,39 @@ until then it provides the semantics users of an Iceberg sink actually
 rely on, each with the same contract:
 
 - **atomic commit**: data files land in a staging dir, then ONE manifest
-  file (the commit point) is created with ``O_CREAT|O_EXCL`` and the
-  ``CURRENT`` pointer is swapped by ``os.rename`` — readers see the old
-  version or the new one, never a half-written mix (Iceberg's
-  root-pointer swap; same rename-swap primitive as
-  ``compaction._swap_dirs``).
+  file appears atomically (full JSON written to a hidden temp, then
+  ``os.link`` into the versioned name — link is exclusive AND the
+  content is complete at link time). The manifest's existence IS the
+  commit; there is deliberately NO separate current-pointer file — a
+  second source of truth would let a crash between two writes wedge the
+  table (review find: an orphaned manifest + stale pointer made every
+  later commit conflict forever while the idempotency gate thought the
+  data had landed). ``current_version`` derives from the manifest set.
 - **optimistic concurrency**: the manifest's version number is the lock.
-  Two writers racing to commit version N+1 both try to exclusively
-  create ``v000N+1.json``; the loser gets :class:`CommitConflict`
-  (Iceberg's CAS on the catalog pointer).
+  Two writers racing to commit version N+1 both try to link
+  ``v000N+1.json``; the loser gets :class:`CommitConflict` (Iceberg's
+  CAS on the catalog pointer).
 - **time travel**: ``read_snapshot(..., version=)`` / ``as_of_ts=`` read
-  the exact file list a past manifest pinned.
+  the exact file list a past manifest pinned, with that version's own
+  schema.
 - **rollback**: a NEW version whose file list is an old version's —
   history is append-only, like ``rollback_to_snapshot``.
-- **expiry**: ``expire_snapshots`` drops old manifests and
-  garbage-collects data files no surviving manifest references.
+- **MERGE INTO**: :func:`merge_upsert` — copy-on-write upsert with
+  footer-pruned file selection (untouched files carried by reference).
+- **exactly-once streaming**: :func:`commit_stream_batch` — every
+  manifest carries the running ``batch_seq`` (highest micro-batch id
+  ever committed), so the replay gate is one manifest read, O(1), and
+  survives :func:`expire_snapshots` dropping old batch-bearing manifests
+  (review find: a history-scan gate was voided by expiry).
+- **expiry**: ``expire_snapshots`` drops old manifests, deletes data
+  files no surviving manifest references, and sweeps ORPHANED data files
+  (from crashed or conflict-losing commits) past a grace age.
 
 Scale shape: manifests are O(files) JSON — the listing a 1000-executor
 read plans from without a directory scan; data files are written by
 executors in parallel (one ``df.write`` per commit), and a read is an
 explicit-path parquet scan (partition pruning and column pruning apply
-as usual). Single-table, filesystem-atomic (POSIX rename) — the
+as usual). Single-table, filesystem-atomic (POSIX link/rename) — the
 documented stand-in scope.
 """
 
@@ -58,6 +70,7 @@ class Snapshot:
     parent: int | None
     batch_id: int | None = None
     schema_json: str | None = None
+    batch_seq: int = -1
 
 
 def _snap_dir(path: str) -> str:
@@ -68,17 +81,26 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_snap_dir(path), f"v{version:06d}.json")
 
 
-def _current_path(path: str) -> str:
-    return os.path.join(_snap_dir(path), "CURRENT")
+def _versions(path: str) -> list:
+    """Committed version numbers, ascending NUMERIC order (names are
+    zero-padded for readability only — sorting parsed integers keeps the
+    history correct past v999999, review find)."""
+    try:
+        names = os.listdir(_snap_dir(path))
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            out.append(int(n[1:-5]))
+    return sorted(out)
 
 
 def current_version(path: str) -> int | None:
-    """The committed version, or None for an empty/uninitialized table."""
-    try:
-        with open(_current_path(path)) as fh:
-            return int(fh.read().strip())
-    except FileNotFoundError:
-        return None
+    """The committed version (highest manifest), or None for an
+    empty/uninitialized table."""
+    vs = _versions(path)
+    return vs[-1] if vs else None
 
 
 def _load_manifest(path: str, version: int) -> Snapshot:
@@ -90,10 +112,12 @@ def _load_manifest(path: str, version: int) -> Snapshot:
             f"snapshot v{version} of {path} does not exist (expired or "
             "never committed)"
         ) from None
+    bid = d.get("batch_id")
     return Snapshot(
         version=d["version"], ts=d["ts"], operation=d["operation"],
         files=d["files"], rows=d["rows"], parent=d.get("parent"),
-        batch_id=d.get("batch_id"), schema_json=d.get("schema"),
+        batch_id=bid, schema_json=d.get("schema"),
+        batch_seq=d.get("batch_seq", bid if bid is not None else -1),
     )
 
 
@@ -115,29 +139,34 @@ def _schema_key(schema_json: str):
 
 
 def _commit_manifest(path: str, new_version: int, manifest: dict) -> Snapshot:
-    """The commit point, shared by every write path: exclusive-create the
-    manifest (optimistic lock), then swap CURRENT via rename (atomic on
-    POSIX)."""
+    """The commit point, shared by every write path: the manifest's full
+    JSON is written to a hidden temp file, then ``os.link``ed into the
+    versioned name — exclusive (link fails if the target exists: the
+    optimistic lock) AND atomic-with-complete-content (a reader or a
+    crash can never observe a half-written manifest; a crash before the
+    link leaves nothing committed, only orphaned data files for the
+    expiry sweep)."""
+    tmp = os.path.join(_snap_dir(path), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(_manifest_path(path, new_version),
-                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, _manifest_path(path, new_version))
     except FileExistsError:
         raise CommitConflict(
             f"version v{new_version} of {path} was committed concurrently"
         ) from None
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    tmp = _current_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp, _current_path(path))
+    finally:
+        os.unlink(tmp)
     return _load_manifest(path, new_version)
 
 
 def _stage_files(df: DataFrame, path: str, new_version: int):
     """Write ``df``'s parquet files under data/ with a commit-local prefix;
-    returns (relative paths, total rows). A failed commit leaves only
-    unreferenced files for expiry."""
+    returns (relative paths, total rows). A failed/conflicted commit
+    leaves only unreferenced data files, which
+    :func:`expire_snapshots`' orphan sweep garbage-collects."""
     import pyarrow.parquet as pq
 
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
@@ -181,14 +210,14 @@ def commit(
     if expected_version is not ... and expected_version != cur:
         raise CommitConflict(
             f"table moved: expected v{expected_version}, current is v{cur}")
+    prev = _load_manifest(path, cur) if cur is not None else None
     # schema enforcement (Iceberg writes are schema-checked): an append
     # must match the table's current schema exactly — silently unioning
     # mismatched parquet files would surface as nulls/corruption at read
     # time. Overwrite SETS a new schema (the evolution path: rewrite with
     # the new shape; per-version schemas make old snapshots read with
     # their own schema).
-    if mode == "append" and cur is not None:
-        prev = _load_manifest(path, cur)
+    if mode == "append" and prev is not None:
         if prev.schema_json is not None and \
                 _schema_key(prev.schema_json) != _schema_key(df.schema.json()):
             raise ValueError(
@@ -200,10 +229,9 @@ def commit(
     new_version = (cur or 0) + 1
     new_files, rows = _stage_files(df, path, new_version)
 
-    base = [] if mode == "overwrite" or cur is None else \
-        _load_manifest(path, cur).files
-    base_rows = 0 if mode == "overwrite" or cur is None else \
-        _load_manifest(path, cur).rows
+    base = prev.files if mode == "append" and prev is not None else []
+    base_rows = prev.rows if mode == "append" and prev is not None else 0
+    prev_seq = prev.batch_seq if prev is not None else -1
     manifest = {
         "version": new_version,
         "ts": time.time(),
@@ -212,6 +240,7 @@ def commit(
         "rows": base_rows + rows,
         "parent": cur,
         "batch_id": batch_id,
+        "batch_seq": max(prev_seq, batch_id if batch_id is not None else -1),
         "schema": df.schema.json(),
     }
     return _commit_manifest(path, new_version, manifest)
@@ -225,32 +254,29 @@ def commit_stream_batch(
 ) -> Snapshot | None:
     """Idempotent micro-batch commit — the Iceberg exactly-once
     ``foreachBatch`` recipe: micro-batch ids are monotone, so a batch
-    whose id is ≤ the table's highest committed ``batch_id`` is a RETRY
-    REPLAY of work that already landed, and the commit no-ops (returns
-    None). Structured Streaming re-runs a failed batch with the same id
-    after restart; with a plain parquet append that double-appends
+    whose id is ≤ the table's running ``batch_seq`` is a RETRY REPLAY of
+    work that already landed, and the commit no-ops (returns None).
+    Structured Streaming re-runs a failed batch with the same id after
+    restart; with a plain parquet append that double-appends
     (at-least-once) — with this gate the routed sink is exactly-once.
 
-    The check reads the manifest history (O(versions) tiny JSONs), not
-    the data."""
-    committed = [s.batch_id for s in snapshots(path)
-                 if s.batch_id is not None]
-    if committed and batch_id <= max(committed):
+    The gate reads ONE manifest (the current one) — O(1) per batch — and
+    because every commit, including maintenance commits (merge/rollback/
+    compaction-style rewrites), carries the running ``batch_seq``
+    forward, expiring old batch-bearing manifests cannot void it
+    (review finds: the first version scanned all manifests per batch and
+    lost the gate entirely once expiry dropped them)."""
+    cur = current_version(path)
+    if cur is not None and \
+            _load_manifest(path, cur).batch_seq >= batch_id:
         return None
     return commit(df, path, mode=mode, batch_id=batch_id)
 
 
 def snapshots(path: str) -> list:
-    """Committed history, oldest first (expired versions absent)."""
-    try:
-        names = sorted(os.listdir(_snap_dir(path)))
-    except FileNotFoundError:
-        return []
-    out = []
-    for n in names:
-        if n.startswith("v") and n.endswith(".json"):
-            out.append(_load_manifest(path, int(n[1:-5])))
-    return out
+    """Committed history, oldest first by NUMERIC version (expired
+    versions absent)."""
+    return [_load_manifest(path, v) for v in _versions(path)]
 
 
 def read_snapshot(
@@ -303,16 +329,21 @@ def merge_upsert(
     rewritten (the tests assert byte-identity; time travel still sees the
     pre-merge rows through the old manifest).
 
-    File pruning mirrors ``delete_ids``: each listed file's parquet
-    footer [min, max] for ``key_col`` is checked driver-side against the
-    sorted update-key list; only intersecting files are re-read,
-    anti-filtered (NULL keys kept — a merge must never drop un-addressed
-    rows), and rewritten together with the updates as new data files.
-    On a by-key-clustered table a narrow upsert touches one file.
+    File pruning shares ``compaction.footer_range`` with ``delete_ids``
+    (one copy of the row-group statistics subtleties): only files whose
+    footer [min, max] for ``key_col`` intersects an update key are
+    re-read, anti-joined against the (broadcast) update keys — a JOIN,
+    not a million-literal ``isin`` expression — and rewritten together
+    with the updates as new data files. NULL-keyed table rows always
+    survive (a merge must never drop un-addressed rows); NULL-keyed
+    update rows match nothing and insert as plain rows. Duplicate keys
+    WITHIN the updates raise — real MERGE INTO rejects multiple source
+    matches rather than silently writing duplicate keys.
 
     Update keys are collected driver-side under ``max_keys`` (the
-    bounded-collect guard pattern); beyond that, batch the merge. NULL
-    update keys match nothing and insert as plain rows.
+    bounded-collect guard pattern) for the footer pruning; beyond that,
+    batch the merge. On a by-key-clustered table a narrow upsert touches
+    one file.
 
     Raises :class:`CommitConflict` under the same optimistic lock as
     every other commit; append-shape schema enforcement applies."""
@@ -320,6 +351,8 @@ def merge_upsert(
 
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
+
+    from .compaction import footer_range
 
     cur = current_version(path)
     if cur is None:
@@ -331,10 +364,15 @@ def merge_upsert(
         raise ValueError(
             f"merge schema mismatch vs v{cur} of {path} — updates must "
             "match the table schema exactly")
-    key_rows = (
-        updates.select(key_col).where(F.col(key_col).isNotNull())
-        .distinct().limit(max_keys + 1).collect()
-    )
+    key_frame = updates.select(key_col).where(
+        F.col(key_col).isNotNull())
+    dup = key_frame.groupBy(key_col).count().where("count > 1") \
+        .limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"merge_upsert: duplicate update key {dup[0][key_col]!r} — "
+            "MERGE INTO requires at most one source row per key")
+    key_rows = key_frame.limit(max_keys + 1).collect()
     if len(key_rows) > max_keys:
         raise ValueError(
             f"merge_upsert requires a bounded update-key set (> {max_keys} "
@@ -346,16 +384,9 @@ def merge_upsert(
         fpath = os.path.join(path, rel)
         md = pq.ParquetFile(fpath).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        lo = hi = None
-        if key_col in idx and keys:
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[key_col]).statistics
-                if st is None or not st.has_min_max:
-                    lo = None
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
+        rng = footer_range(md, idx[key_col]) if key_col in idx else None
+        if rng is not None:
+            lo, hi = rng
             left = bisect.bisect_left(keys, lo)
             if left >= len(keys) or keys[left] > hi:
                 untouched.append(rel)
@@ -371,7 +402,11 @@ def merge_upsert(
     if touched:
         survivors = spark.read.parquet(
             *[os.path.join(path, f) for f in touched]
-        ).where(F.col(key_col).isNull() | ~F.col(key_col).isin(keys))
+        ).join(
+            F.broadcast(updates.select(key_col).distinct()
+                        .where(F.col(key_col).isNotNull())),
+            on=key_col, how="left_anti",
+        )
         to_write = survivors.unionByName(updates)
     else:
         to_write = updates
@@ -381,52 +416,77 @@ def merge_upsert(
         "files": untouched + new_files,
         "rows": untouched_rows + new_rows,
         "parent": cur, "schema": updates.schema.json(),
+        "batch_seq": snap.batch_seq,
     }
     return _commit_manifest(path, new_version, manifest)
 
 
 def rollback(path: str, version: int) -> Snapshot:
     """Commit a NEW version whose content is ``version``'s file list —
-    history stays append-only (Iceberg rollback_to_snapshot)."""
+    history stays append-only (Iceberg rollback_to_snapshot). The running
+    ``batch_seq`` is carried from CURRENT, not the rollback target: a
+    replay of a rolled-back batch stays a no-op (re-ingest deliberately,
+    with fresh batch ids)."""
     old = _load_manifest(path, version)
     cur = current_version(path)
+    cur_seq = _load_manifest(path, cur).batch_seq if cur is not None else -1
     new_version = (cur or 0) + 1
     manifest = {
         "version": new_version, "ts": time.time(),
         "operation": f"rollback-to-v{version}",
         "files": old.files, "rows": old.rows, "parent": cur,
-        "schema": old.schema_json,
+        "schema": old.schema_json, "batch_seq": cur_seq,
     }
     return _commit_manifest(path, new_version, manifest)
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> dict:
-    """Drop all but the last ``keep_last`` snapshots and delete data files
-    no surviving manifest references. The CURRENT version always
-    survives. Returns {expired_versions, deleted_files}."""
+def expire_snapshots(
+    path: str,
+    keep_last: int = 2,
+    orphan_grace_sec: float = 86_400.0,
+) -> dict:
+    """Drop all but the last ``keep_last`` snapshots, delete data files no
+    surviving manifest references, and sweep ORPHANED data files — files
+    staged by crashed or conflict-losing commits that no manifest ever
+    referenced (review find: they otherwise leak forever). Orphans are
+    only removed once older than ``orphan_grace_sec`` so the sweep can
+    never race an in-flight commit that has staged its files but not yet
+    linked its manifest. The current version always survives. Returns
+    {expired_versions, deleted_files, orphans_deleted}."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     hist = snapshots(path)
-    if len(hist) <= keep_last:
-        return {"expired_versions": [], "deleted_files": 0}
-    cur = current_version(path)
-    keep = hist[-keep_last:]
-    if cur is not None and cur not in {s.version for s in keep}:
-        keep.append(_load_manifest(path, cur))
-    keep_versions = {s.version for s in keep}
-    expired = [s for s in hist if s.version not in keep_versions]
-    referenced = {f for s in keep for f in s.files}
-    deleted = 0
-    for s in expired:
-        for f in s.files:
-            if f not in referenced:
-                try:
-                    os.remove(os.path.join(path, f))
-                    deleted += 1
-                except FileNotFoundError:
-                    pass
-        os.remove(_manifest_path(path, s.version))
-    return {
-        "expired_versions": [s.version for s in expired],
-        "deleted_files": deleted,
-    }
+    out = {"expired_versions": [], "deleted_files": 0, "orphans_deleted": 0}
+    if len(hist) > keep_last:
+        keep = hist[-keep_last:]
+        keep_versions = {s.version for s in keep}
+        expired = [s for s in hist if s.version not in keep_versions]
+        referenced = {f for s in keep for f in s.files}
+        for s in expired:
+            for f in s.files:
+                if f not in referenced:
+                    try:
+                        os.remove(os.path.join(path, f))
+                        out["deleted_files"] += 1
+                    except FileNotFoundError:
+                        pass
+            os.remove(_manifest_path(path, s.version))
+        out["expired_versions"] = [s.version for s in expired]
+        hist = keep
+    # orphan sweep: data files referenced by NO surviving manifest
+    referenced = {f for s in hist for f in s.files}
+    data_dir = os.path.join(path, "data")
+    now = time.time()
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            rel = os.path.join("data", name)
+            fpath = os.path.join(data_dir, name)
+            if rel in referenced or not name.endswith(".parquet"):
+                continue
+            try:
+                if now - os.path.getmtime(fpath) >= orphan_grace_sec:
+                    os.remove(fpath)
+                    out["orphans_deleted"] += 1
+            except FileNotFoundError:
+                pass
+    return out

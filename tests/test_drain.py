@@ -210,7 +210,7 @@ def test_drain_template_positional_invariants(spark):
 
 
 def test_drain_bounded_leaf_overflow(spark):
-    """max_leaf_msgs bounds per-leaf founding: past the cap, messages
+    """max_leaf_clusters bounds per-leaf founding: once the cap in CLUSTERS
     that match an existing cluster still assign normally; non-matching
     ones land in the labeled #overflow bucket instead of founding new
     clusters without bound (the high-entropy-corpus guard)."""
@@ -222,7 +222,7 @@ def test_drain_bounded_leaf_overflow(spark):
     rows += [(100 + i, f"p q r s{c} t{c} u{c} v{c}")                   # chaos:
              for i, c in enumerate(letters)]  # sim 3/7 < 0.5 pairwise
     logs = spark.createDataFrame(rows, "event_id long, summary string")
-    got = drain.drain_templates(logs, max_leaf_msgs=3).toPandas()
+    got = drain.drain_templates(logs, max_leaf_clusters=3).toPandas()
     over = got[got["cluster_id"].str.endswith("#overflow")]
     # the alpha-beta family merged into one cluster regardless of the cap
     fam = got[got["masked_msg"].str.startswith("alpha beta")]

@@ -58,21 +58,26 @@ def test_rollback_is_append_only(spark, tmp_path):
 def test_commit_conflict_and_cas(spark, tmp_path):
     t = str(tmp_path / "tbl")
     sn.commit(_df(spark, 0, 3), t)
-    # a racing writer already created v2's manifest -> loser must raise
-    os.makedirs(os.path.join(t, "_snapshots"), exist_ok=True)
+    # a racing writer lands v2 between our read and our commit: the
+    # manifest IS the commit (single source of truth), so a blind commit
+    # simply builds on it — no wedge — while a CAS pinned to the stale
+    # version conflicts
+    shutil_src = os.path.join(t, "_snapshots", "v000001.json")
+    v1 = json.load(open(shutil_src))
+    v1["version"], v1["parent"] = 2, 1
     with open(os.path.join(t, "_snapshots", "v000002.json"), "w") as fh:
-        json.dump({"version": 2, "ts": time.time(), "operation": "append",
-                   "files": [], "rows": 0, "parent": 1}, fh)
-    with pytest.raises(sn.CommitConflict, match="concurrently"):
-        sn.commit(_df(spark, 3, 6), t)
-    # CAS: a read-modify-write pinned to a stale version must conflict
-    os.remove(os.path.join(t, "_snapshots", "v000002.json"))
-    sn.commit(_df(spark, 3, 6), t)                    # now v2 for real
+        json.dump(v1, fh)
     with pytest.raises(sn.CommitConflict, match="table moved"):
         sn.commit(_df(spark, 6, 9), t, expected_version=1)
-    # correct expectation passes
-    s = sn.commit(_df(spark, 6, 9), t, expected_version=2)
-    assert s.version == 3 and s.rows == 9
+    s = sn.commit(_df(spark, 3, 6), t)        # blind append builds on v2
+    assert s.version == 3
+    # the raw link race: two writers computing the SAME next version —
+    # the second exclusive-create loses
+    with pytest.raises(sn.CommitConflict, match="concurrently"):
+        sn._commit_manifest(t, 3, dict(v1, version=3))
+    # correct CAS expectation passes
+    s2 = sn.commit(_df(spark, 6, 9), t, expected_version=3)
+    assert s2.version == 4
 
 
 def test_commit_point_is_atomic(spark, tmp_path):
@@ -261,3 +266,54 @@ def test_merge_upsert_copy_on_write(spark, tmp_path):
     big = spark.range(0, 50).selectExpr("id", "id as v")
     with pytest.raises(ValueError, match="bounded update-key set"):
         sn.merge_upsert(spark, big, t, "id", max_keys=10)
+
+
+def test_orphan_data_files_swept_after_grace(spark, tmp_path):
+    """A crashed/conflict-losing commit leaves staged data files that no
+    manifest references; the expiry orphan sweep removes them past the
+    grace age and never touches referenced files or young orphans."""
+    t = str(tmp_path / "tbl")
+    sn.commit(_df(spark, 0, 4), t)
+    orphan = os.path.join(t, "data", "c999999-dead0000-00000.parquet")
+    _df(spark, 90, 92).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "o"))
+    src = [f for f in os.listdir(str(tmp_path / "o"))
+           if f.endswith(".parquet")][0]
+    os.rename(os.path.join(str(tmp_path / "o"), src), orphan)
+    # young orphan survives a guarded sweep
+    out = sn.expire_snapshots(t, keep_last=5, orphan_grace_sec=3600)
+    assert out["orphans_deleted"] == 0 and os.path.exists(orphan)
+    # past the grace it is swept; the table still reads identically
+    out = sn.expire_snapshots(t, keep_last=5, orphan_grace_sec=0)
+    assert out["orphans_deleted"] == 1 and not os.path.exists(orphan)
+    assert sn.read_snapshot(spark, t).count() == 4
+
+
+def test_batch_seq_survives_expiry_and_maintenance(spark, tmp_path):
+    """The exactly-once gate must hold after maintenance commits and
+    snapshot expiry drop every batch_id-bearing manifest (review find:
+    a history-scan gate was voided here). batch_seq rides every
+    manifest."""
+    t = str(tmp_path / "tbl")
+    assert sn.commit_stream_batch(_df(spark, 0, 3), t, batch_id=0) is not None
+    assert sn.commit_stream_batch(_df(spark, 3, 5), t, batch_id=1) is not None
+    # maintenance: a merge and a rollback, both batch_id=None
+    sn.merge_upsert(spark, _df(spark, 4, 6), t, "id")
+    sn.rollback(t, sn.current_version(t) - 1)
+    # expire everything but the tail: all batch-bearing manifests gone
+    sn.expire_snapshots(t, keep_last=2, orphan_grace_sec=3600)
+    assert all(s.batch_id is None for s in sn.snapshots(t))
+    # the replay gate still holds
+    n_before = sn.read_snapshot(spark, t).count()
+    assert sn.commit_stream_batch(_df(spark, 3, 5), t, batch_id=1) is None
+    assert sn.read_snapshot(spark, t).count() == n_before
+    # and a genuinely new batch lands
+    assert sn.commit_stream_batch(_df(spark, 50, 51), t, batch_id=2) is not None
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.commit(_df(spark, 0, 3), t)
+    dup = spark.createDataFrame([(1, 10), (1, 20)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate update key"):
+        sn.merge_upsert(spark, dup, t, "id")
