@@ -317,3 +317,49 @@ def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
     dup = spark.createDataFrame([(1, 10), (1, 20)], "id long, v long")
     with pytest.raises(ValueError, match="duplicate update key"):
         sn.merge_upsert(spark, dup, t, "id")
+
+
+def test_concurrent_writers_race_without_wedge(spark, tmp_path):
+    """Two writers hammer the same table with CAS+retry loops: every
+    version has exactly one winner, conflicts are always retryable (no
+    permanent wedge — the round-5 hardening's point), and the final
+    table contains every writer's rows exactly once."""
+    import threading
+
+    t = str(tmp_path / "race")
+    sn.commit(_df(spark, 0, 1), t)
+    per_writer, n_writers = 6, 2
+    errors, conflicts = [], [0]
+
+    def writer(wid):
+        for i in range(per_writer):
+            lo = 1000 * (wid + 1) + 10 * i
+            df = spark.range(lo, lo + 2).selectExpr("id", "id * 10 as v")
+            for _attempt in range(50):
+                try:
+                    cur = sn.current_version(t)
+                    sn.commit(df, t, expected_version=cur)
+                    break
+                except sn.CommitConflict:
+                    conflicts[0] += 1
+            else:
+                errors.append(f"writer {wid} step {i} starved")
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    # exactly one manifest per version, contiguous history
+    vs = [s.version for s in sn.snapshots(t)]
+    assert vs == list(range(1, 1 + 1 + per_writer * n_writers))
+    # every writer's rows landed exactly once
+    got = sorted(r["id"] for r in sn.read_snapshot(spark, t).collect())
+    want = sorted([0] + [1000 * (w + 1) + 10 * i + d
+                         for w in range(n_writers)
+                         for i in range(per_writer) for d in (0, 1)])
+    assert got == want
+    # rows bookkeeping agrees with reality
+    assert sn.snapshots(t)[-1].rows == len(want)
