@@ -239,3 +239,27 @@ def test_drain_bounded_leaf_overflow(spark):
     # default cap leaves ordinary corpora untouched
     base = drain.drain_templates(logs).toPandas()
     assert not base["cluster_id"].str.endswith("#overflow").any()
+
+
+def test_assign_templates_on_a_stream(spark, tmp_path):
+    """The Drain tier's deployment shape at V6 scale: templates mined in
+    batch (bounded dim), streamed log lines labeled by the stream-static
+    broadcast join — every streamed row gets its template, no stateful
+    operator involved."""
+    in_dir = str(tmp_path / "stream_logs")
+    logs = _spark_logs(spark)
+    logs.repartition(2).write.parquet(in_dir)
+    templ = drain.drain_templates(logs)
+
+    stream = spark.readStream.schema(logs.schema).parquet(in_dir)
+    labeled = drain.assign_templates(stream, templ)
+    q = (labeled.writeStream.format("memory").queryName("drain_labeled")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from drain_labeled").collect()
+    assert len(rows) == len(LINES)
+    assert all(r["template"] is not None for r in rows)
+    hosts = [r for r in rows
+             if r["masked_msg"].startswith("connected to host")]
+    assert {r["template"] for r in hosts} == {
+        "connected to host <*> on port <NUM>"}
