@@ -421,6 +421,40 @@ def merge_upsert(
     return _commit_manifest(path, new_version, manifest)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> Snapshot | None:
+    """``rewrite_data_files`` analog for snapshot tables: rewrite the
+    CURRENT file list into ≈``target_file_mb`` files as a NEW snapshot
+    with identical rows (the streaming sink's many small per-batch files
+    fold into a few scan-friendly ones; history keeps the old layout
+    until :func:`expire_snapshots` reclaims it). No-op (returns None)
+    when the table already has one file or is empty — an idempotent
+    nightly run costs a metadata probe. ``batch_seq`` carries forward, so
+    compaction never disturbs the exactly-once gate."""
+    cur = current_version(path)
+    if cur is None:
+        return None
+    snap = _load_manifest(path, cur)
+    if len(snap.files) <= 1:
+        return None
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in snap.files)
+    n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    if n >= len(snap.files):
+        return None                  # already at/under target geometry
+    df = spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
+    new_version = cur + 1
+    new_files, rows = _stage_files(df.coalesce(int(n)), path, new_version)
+    manifest = {
+        "version": new_version, "ts": time.time(), "operation": "compact",
+        "files": new_files, "rows": rows, "parent": cur,
+        "schema": snap.schema_json, "batch_seq": snap.batch_seq,
+    }
+    return _commit_manifest(path, new_version, manifest)
+
+
 def rollback(path: str, version: int) -> Snapshot:
     """Commit a NEW version whose content is ``version``'s file list —
     history stays append-only (Iceberg rollback_to_snapshot). The running

@@ -363,3 +363,25 @@ def test_concurrent_writers_race_without_wedge(spark, tmp_path):
     assert got == want
     # rows bookkeeping agrees with reality
     assert sn.snapshots(t)[-1].rows == len(want)
+
+
+def test_compact_rewrites_layout_not_content(spark, tmp_path):
+    """rewrite_data_files analog: many per-batch files fold into few,
+    rows and schema identical, history keeps the old layout, the
+    exactly-once gate is undisturbed, and a second run no-ops."""
+    t = str(tmp_path / "tbl")
+    for b in range(5):
+        sn.commit_stream_batch(
+            _df(spark, b * 3, b * 3 + 3).repartition(2), t, batch_id=b)
+    pre = sn.snapshots(t)[-1]
+    assert len(pre.files) >= 10
+    s = sn.compact(spark, t)
+    assert s is not None and s.operation == "compact"
+    assert len(s.files) < len(pre.files)
+    assert s.rows == pre.rows == 15
+    got = sorted(r["id"] for r in sn.read_snapshot(spark, t).collect())
+    assert got == list(range(15))
+    # old layout still time-travels; gate still holds; second run no-ops
+    assert sn.read_snapshot(spark, t, version=pre.version).count() == 15
+    assert sn.commit_stream_batch(_df(spark, 0, 3), t, batch_id=4) is None
+    assert sn.compact(spark, t) is None
