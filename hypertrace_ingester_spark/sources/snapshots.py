@@ -71,6 +71,7 @@ class Snapshot:
     batch_id: int | None = None
     schema_json: str | None = None
     batch_seq: int = -1
+    file_stats: dict = None  # {rel_path: {col: [min, max]}}
 
 
 def _snap_dir(path: str) -> str:
@@ -118,6 +119,7 @@ def _load_manifest(path: str, version: int) -> Snapshot:
         files=d["files"], rows=d["rows"], parent=d.get("parent"),
         batch_id=bid, schema_json=d.get("schema"),
         batch_seq=d.get("batch_seq", bid if bid is not None else -1),
+        file_stats=d.get("file_stats") or {},
     )
 
 
@@ -162,26 +164,46 @@ def _commit_manifest(path: str, new_version: int, manifest: dict) -> Snapshot:
     return _load_manifest(path, new_version)
 
 
-def _stage_files(df: DataFrame, path: str, new_version: int):
+def _stage_files(df: DataFrame, path: str, new_version: int,
+                 stats_cols: tuple = ()):
     """Write ``df``'s parquet files under data/ with a commit-local prefix;
-    returns (relative paths, total rows). A failed/conflicted commit
-    leaves only unreferenced data files, which
-    :func:`expire_snapshots`' orphan sweep garbage-collects."""
+    returns (relative paths, total rows, per-file column stats). A
+    failed/conflicted commit leaves only unreferenced data files, which
+    :func:`expire_snapshots`' orphan sweep garbage-collects.
+
+    ``stats_cols``: record each file's footer [min, max] for these
+    columns INTO THE MANIFEST (Iceberg's manifest-level file statistics)
+    — :func:`scan_snapshot` then prunes files at plan time from one JSON
+    read, no footer access. The footers are already open here for the
+    row counts, so the stats are free at commit time."""
     import pyarrow.parquet as pq
+
+    from .compaction import footer_range
 
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     prefix = f"c{new_version:06d}-{uuid.uuid4().hex[:8]}"
-    new_files, rows = [], 0
+    new_files, rows, file_stats = [], 0, {}
     for i, name in enumerate(sorted(os.listdir(stage))):
         if not name.endswith(".parquet"):
             continue
         rel = os.path.join("data", f"{prefix}-{i:05d}.parquet")
         os.rename(os.path.join(stage, name), os.path.join(path, rel))
-        rows += pq.read_metadata(os.path.join(path, rel)).num_rows
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        rows += md.num_rows
         new_files.append(rel)
+        if stats_cols:
+            idx = {md.schema.column(c).name: c
+                   for c in range(md.num_columns)}
+            st = {}
+            for col in stats_cols:
+                rng = footer_range(md, idx[col]) if col in idx else None
+                if rng is not None:
+                    st[col] = [rng[0], rng[1]]
+            if st:
+                file_stats[rel] = st
     shutil.rmtree(stage, ignore_errors=True)
-    return new_files, rows
+    return new_files, rows, file_stats
 
 
 def commit(
@@ -190,8 +212,15 @@ def commit(
     mode: str = "append",
     expected_version: int | None = ...,
     batch_id: int | None = None,
+    stats_cols: tuple = (),
 ) -> Snapshot:
     """Write ``df`` as the next snapshot of the table at ``path``.
+
+    ``stats_cols`` records per-file [min, max] manifest statistics for
+    those columns (free at commit time — the footers are already open);
+    :func:`scan_snapshot` prunes from them at plan time. Appends inherit
+    the table's existing stats columns automatically, so one initial
+    commit with ``stats_cols`` keeps the whole table pruned.
 
     ``mode="append"`` adds the new files to the current file list;
     ``"overwrite"`` replaces it. ``expected_version`` (optional) asserts
@@ -226,11 +255,23 @@ def commit(
                 "overwrite to change the schema"
             )
 
+    # appends inherit the table's existing stats columns so pruning stays
+    # uniform across the file list without re-passing stats_cols per batch
+    eff_stats_cols = tuple(stats_cols)
+    if not eff_stats_cols and mode == "append" and prev is not None \
+            and prev.file_stats:
+        eff_stats_cols = tuple(
+            sorted({c for st in prev.file_stats.values() for c in st}))
+
     new_version = (cur or 0) + 1
-    new_files, rows = _stage_files(df, path, new_version)
+    new_files, rows, new_stats = _stage_files(
+        df, path, new_version, stats_cols=eff_stats_cols)
 
     base = prev.files if mode == "append" and prev is not None else []
     base_rows = prev.rows if mode == "append" and prev is not None else 0
+    base_stats = dict(prev.file_stats or {}) \
+        if mode == "append" and prev is not None else {}
+    base_stats.update(new_stats)
     prev_seq = prev.batch_seq if prev is not None else -1
     manifest = {
         "version": new_version,
@@ -242,6 +283,7 @@ def commit(
         "batch_id": batch_id,
         "batch_seq": max(prev_seq, batch_id if batch_id is not None else -1),
         "schema": df.schema.json(),
+        "file_stats": base_stats,
     }
     return _commit_manifest(path, new_version, manifest)
 
@@ -311,6 +353,52 @@ def read_snapshot(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(snap.schema_json)))
     return spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
+
+
+def scan_snapshot(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Manifest-pruned read: keep only files whose recorded [min, max]
+    for ``col`` intersects [lo, hi] (either bound None = unbounded) —
+    Iceberg's plan-time file pruning from manifest statistics, ONE JSON
+    read, no footer access. Files without recorded stats are kept (can't
+    prune what wasn't measured). The caller still applies the real
+    predicate — pruning only shrinks the scan set, never changes results
+    (tests assert both). Requires a commit made with ``stats_cols``."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise ValueError(f"{path} has no committed snapshots")
+    snap = _load_manifest(path, version)
+    stats = snap.file_stats or {}
+
+    def keep(rel):
+        st = stats.get(rel, {}).get(col)
+        if st is None:
+            return True
+        fmin, fmax = st
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+
+    files = [f for f in snap.files if keep(f)]
+    if not files:
+        from pyspark.sql.types import StructType
+
+        if snap.schema_json is None:
+            raise ValueError(
+                f"snapshot v{version} of {path} pruned to zero files and "
+                "pins no schema")
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(snap.schema_json)))
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
 def merge_upsert(
@@ -410,13 +498,19 @@ def merge_upsert(
         to_write = survivors.unionByName(updates)
     else:
         to_write = updates
-    new_files, new_rows = _stage_files(to_write, path, new_version)
+    prev_stats_cols = tuple(
+        sorted({c for st in (snap.file_stats or {}).values() for c in st}))
+    new_files, new_rows, new_stats = _stage_files(
+        to_write, path, new_version, stats_cols=prev_stats_cols)
+    stats = {f: st for f, st in (snap.file_stats or {}).items()
+             if f in set(untouched)}
+    stats.update(new_stats)
     manifest = {
         "version": new_version, "ts": time.time(), "operation": "merge",
         "files": untouched + new_files,
         "rows": untouched_rows + new_rows,
         "parent": cur, "schema": updates.schema.json(),
-        "batch_seq": snap.batch_seq,
+        "batch_seq": snap.batch_seq, "file_stats": stats,
     }
     return _commit_manifest(path, new_version, manifest)
 
@@ -446,11 +540,15 @@ def compact(
         return None                  # already at/under target geometry
     df = spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
     new_version = cur + 1
-    new_files, rows = _stage_files(df.coalesce(int(n)), path, new_version)
+    prev_stats_cols = tuple(
+        sorted({c for st in (snap.file_stats or {}).values() for c in st}))
+    new_files, rows, new_stats = _stage_files(
+        df.coalesce(int(n)), path, new_version, stats_cols=prev_stats_cols)
     manifest = {
         "version": new_version, "ts": time.time(), "operation": "compact",
         "files": new_files, "rows": rows, "parent": cur,
         "schema": snap.schema_json, "batch_seq": snap.batch_seq,
+        "file_stats": new_stats,
     }
     return _commit_manifest(path, new_version, manifest)
 

@@ -385,3 +385,38 @@ def test_compact_rewrites_layout_not_content(spark, tmp_path):
     assert sn.read_snapshot(spark, t, version=pre.version).count() == 15
     assert sn.commit_stream_batch(_df(spark, 0, 3), t, batch_id=4) is None
     assert sn.compact(spark, t) is None
+
+
+def test_manifest_stats_prune_scans(spark, tmp_path):
+    """Manifest-level file statistics (Iceberg plan-time pruning): commits
+    made with stats_cols record per-file [min,max]; scan_snapshot reads
+    only intersecting files (observed via inputFiles) while results stay
+    identical to the unpruned read + predicate; appends inherit the
+    stats columns; compaction regenerates them."""
+    t = str(tmp_path / "tbl")
+    sn.commit(_df(spark, 0, 100).repartition(1), t, stats_cols=("id",))
+    sn.commit(_df(spark, 1000, 1100).repartition(1), t)   # inherits
+    sn.commit(_df(spark, 5000, 5100).repartition(1), t)
+    snap = sn.snapshots(t)[-1]
+    assert len(snap.files) == 3
+    assert all(f in snap.file_stats and "id" in snap.file_stats[f]
+               for f in snap.files)
+
+    pruned = sn.scan_snapshot(spark, t, "id", lo=1000, hi=1099)
+    assert len(pruned.inputFiles()) == 1
+    got = sorted(r["id"] for r in
+                 pruned.where("id between 1000 and 1099").collect())
+    full = sorted(r["id"] for r in
+                  sn.read_snapshot(spark, t)
+                  .where("id between 1000 and 1099").collect())
+    assert got == full == list(range(1000, 1100))
+    # open-ended bounds
+    assert len(sn.scan_snapshot(spark, t, "id", lo=4000).inputFiles()) == 1
+    assert len(sn.scan_snapshot(spark, t, "id", hi=150).inputFiles()) == 1
+    # prune-to-zero returns a typed empty frame
+    none = sn.scan_snapshot(spark, t, "id", lo=2000, hi=2500)
+    assert none.count() == 0 and [f.name for f in none.schema] == ["id", "v"]
+    # compaction carries the stats machinery
+    s = sn.compact(spark, t, target_file_mb=1)
+    if s is not None:
+        assert all("id" in st for st in s.file_stats.values())
