@@ -147,21 +147,78 @@ def _commit_manifest(path: str, new_version: int, manifest: dict) -> Snapshot:
     optimistic lock) AND atomic-with-complete-content (a reader or a
     crash can never observe a half-written manifest; a crash before the
     link leaves nothing committed, only orphaned data files for the
-    expiry sweep)."""
+    expiry sweep). The temp is removed on EVERY exit, including a
+    serialization failure mid-dump (review find: a raise inside the
+    write block leaked it)."""
     tmp = os.path.join(_snap_dir(path), f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
-        os.link(tmp, _manifest_path(path, new_version))
-    except FileExistsError:
-        raise CommitConflict(
-            f"version v{new_version} of {path} was committed concurrently"
-        ) from None
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, _manifest_path(path, new_version))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version v{new_version} of {path} was committed "
+                "concurrently"
+            ) from None
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     return _load_manifest(path, new_version)
+
+
+def _stats_encode(v):
+    """Footer min/max → JSON-storable value. Numbers/strings/bools pass
+    through; datetimes/dates become tagged ISO strings (the natural
+    pruning column for an ingester is a time range — review find: raw
+    datetime crashed json.dump); anything else (bytes, decimals) returns
+    None = don't record stats for this value."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return {"_t": "dt", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"_t": "d", "v": v.isoformat()}
+    return None
+
+
+def _stats_decode(v):
+    import datetime as _dt
+
+    if isinstance(v, dict) and "_t" in v:
+        if v["_t"] == "dt":
+            return _dt.datetime.fromisoformat(v["v"])
+        if v["_t"] == "d":
+            return _dt.date.fromisoformat(v["v"])
+    return v
+
+
+def _stats_cols_of(snap: Snapshot) -> tuple:
+    """The stats columns a manifest carries (ONE derivation shared by
+    append-inheritance, merge, and compact — review find: three copies)."""
+    return tuple(sorted(
+        {c for st in (snap.file_stats or {}).values() for c in st}))
+
+
+def _top_level_column_index(md) -> dict:
+    """{top-level column name -> parquet column position}. Uses the full
+    dotted PATH, not the leaf name — for schema {id, s: struct<id>} both
+    leaves are NAMED 'id' and the leaf-name dict silently recorded the
+    struct-inner column's stats under the top-level name (review find:
+    wrong pruning = wrong results). Nested leaves are excluded — only
+    top-level columns are prunable here."""
+    out = {}
+    for i in range(md.num_columns):
+        p = md.schema.column(i).path
+        if "." not in p:
+            out[p] = i
+    return out
 
 
 def _stage_files(df: DataFrame, path: str, new_version: int,
@@ -175,7 +232,11 @@ def _stage_files(df: DataFrame, path: str, new_version: int,
     columns INTO THE MANIFEST (Iceberg's manifest-level file statistics)
     — :func:`scan_snapshot` then prunes files at plan time from one JSON
     read, no footer access. The footers are already open here for the
-    row counts, so the stats are free at commit time."""
+    row counts, so the stats are free at commit time. Note: timestamp
+    columns only carry footer stats under the modern physical type (set
+    ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``; Spark's
+    legacy INT96 default writes no min/max, so those columns are simply
+    not recorded)."""
     import pyarrow.parquet as pq
 
     from .compaction import footer_range
@@ -193,13 +254,14 @@ def _stage_files(df: DataFrame, path: str, new_version: int,
         rows += md.num_rows
         new_files.append(rel)
         if stats_cols:
-            idx = {md.schema.column(c).name: c
-                   for c in range(md.num_columns)}
+            idx = _top_level_column_index(md)
             st = {}
             for col in stats_cols:
                 rng = footer_range(md, idx[col]) if col in idx else None
                 if rng is not None:
-                    st[col] = [rng[0], rng[1]]
+                    lo, hi = _stats_encode(rng[0]), _stats_encode(rng[1])
+                    if lo is not None and hi is not None:
+                        st[col] = [lo, hi]
             if st:
                 file_stats[rel] = st
     shutil.rmtree(stage, ignore_errors=True)
@@ -255,13 +317,14 @@ def commit(
                 "overwrite to change the schema"
             )
 
-    # appends inherit the table's existing stats columns so pruning stays
-    # uniform across the file list without re-passing stats_cols per batch
+    # appends AND overwrites inherit the table's existing stats columns
+    # (restricted to columns the new frame still has), so pruning stays
+    # uniform without re-passing stats_cols per batch and an overwrite
+    # doesn't silently lose it (review find)
     eff_stats_cols = tuple(stats_cols)
-    if not eff_stats_cols and mode == "append" and prev is not None \
-            and prev.file_stats:
+    if not eff_stats_cols and prev is not None and prev.file_stats:
         eff_stats_cols = tuple(
-            sorted({c for st in prev.file_stats.values() for c in st}))
+            c for c in _stats_cols_of(prev) if c in df.columns)
 
     new_version = (cur or 0) + 1
     new_files, rows, new_stats = _stage_files(
@@ -377,15 +440,40 @@ def scan_snapshot(
     snap = _load_manifest(path, version)
     stats = snap.file_stats or {}
 
+    import datetime as _dt
+
+    def cmp_pair(a, b):
+        # footer timestamps decode tz-aware (parquet isAdjustedToUTC);
+        # a naive bound means UTC by repo convention (session tz = UTC)
+        if isinstance(a, _dt.datetime) and isinstance(b, _dt.datetime) \
+                and (a.tzinfo is None) != (b.tzinfo is None):
+            if a.tzinfo is None:
+                a = a.replace(tzinfo=_dt.timezone.utc)
+            else:
+                b = b.replace(tzinfo=_dt.timezone.utc)
+        return a, b
+
     def keep(rel):
         st = stats.get(rel, {}).get(col)
         if st is None:
             return True
-        fmin, fmax = st
-        if lo is not None and fmax < lo:
-            return False
-        if hi is not None and fmin > hi:
-            return False
+        fmin, fmax = _stats_decode(st[0]), _stats_decode(st[1])
+        try:
+            if lo is not None:
+                a, b = cmp_pair(fmax, lo)
+                if a < b:
+                    return False
+            if hi is not None:
+                a, b = cmp_pair(fmin, hi)
+                if a > b:
+                    return False
+        except TypeError:
+            raise TypeError(
+                f"scan_snapshot: bound type "
+                f"{type(lo if lo is not None else hi).__name__} is not "
+                f"comparable with column {col!r}'s recorded stats type "
+                f"{type(fmin).__name__} (file {rel})"
+            ) from None
         return True
 
     files = [f for f in snap.files if keep(f)]
@@ -498,12 +586,11 @@ def merge_upsert(
         to_write = survivors.unionByName(updates)
     else:
         to_write = updates
-    prev_stats_cols = tuple(
-        sorted({c for st in (snap.file_stats or {}).values() for c in st}))
     new_files, new_rows, new_stats = _stage_files(
-        to_write, path, new_version, stats_cols=prev_stats_cols)
+        to_write, path, new_version, stats_cols=_stats_cols_of(snap))
+    untouched_set = set(untouched)
     stats = {f: st for f, st in (snap.file_stats or {}).items()
-             if f in set(untouched)}
+             if f in untouched_set}
     stats.update(new_stats)
     manifest = {
         "version": new_version, "ts": time.time(), "operation": "merge",
@@ -540,10 +627,9 @@ def compact(
         return None                  # already at/under target geometry
     df = spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
     new_version = cur + 1
-    prev_stats_cols = tuple(
-        sorted({c for st in (snap.file_stats or {}).values() for c in st}))
     new_files, rows, new_stats = _stage_files(
-        df.coalesce(int(n)), path, new_version, stats_cols=prev_stats_cols)
+        df.coalesce(int(n)), path, new_version,
+        stats_cols=_stats_cols_of(snap))
     manifest = {
         "version": new_version, "ts": time.time(), "operation": "compact",
         "files": new_files, "rows": rows, "parent": cur,
@@ -568,6 +654,10 @@ def rollback(path: str, version: int) -> Snapshot:
         "operation": f"rollback-to-v{version}",
         "files": old.files, "rows": old.rows, "parent": cur,
         "schema": old.schema_json, "batch_seq": cur_seq,
+        # the file list is exactly old.files, so old's stats are exactly
+        # valid — dropping them would silently kill pruning AND the
+        # append-inheritance chain for the whole table (review find)
+        "file_stats": old.file_stats or {},
     }
     return _commit_manifest(path, new_version, manifest)
 

@@ -420,3 +420,50 @@ def test_manifest_stats_prune_scans(spark, tmp_path):
     s = sn.compact(spark, t, target_file_mb=1)
     if s is not None:
         assert all("id" in st for st in s.file_stats.values())
+
+
+def test_stats_on_timestamps_nested_shadow_and_maintenance(spark, tmp_path):
+    """Round-5 review fixes: (a) timestamp stats serialize and prune with
+    datetime bounds; (b) a nested struct field named like a top-level
+    column cannot shadow its stats; (c) rollback and overwrite carry the
+    stats machinery; (d) mismatched bound types raise a named error."""
+    import datetime as dt
+
+    # INT96 (Spark's legacy default) carries NO footer min/max — time
+    # pruning needs the modern physical type
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    t = str(tmp_path / "ts_tbl")
+    df1 = spark.sql(
+        "select id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts,"
+        " named_struct('id', id + 100000) as s from range(0, 50)")
+    sn.commit(df1.repartition(1), t, stats_cols=("ts", "id"))
+    df2 = spark.sql(
+        "select id, timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts,"
+        " named_struct('id', id + 100000) as s from range(1000, 1050)")
+    sn.commit(df2.repartition(1), t)                    # inherits both cols
+    snap = sn.snapshots(t)[-1]
+    assert len(snap.files) == 2
+    for st in snap.file_stats.values():
+        assert set(st) == {"ts", "id"}
+    # (b) top-level id stats are the TOP-LEVEL values, not s.id's
+    for st in snap.file_stats.values():
+        assert st["id"][1] < 100000, st["id"]
+    pruned = sn.scan_snapshot(spark, t, "id", lo=1000)
+    assert len(pruned.inputFiles()) == 1
+    # (a) datetime bounds prune the time range
+    tp = sn.scan_snapshot(spark, t, "ts", lo=dt.datetime(2024, 5, 1))
+    assert len(tp.inputFiles()) == 1
+    assert tp.count() == 50
+    # (d) mismatched bound type raises a named error
+    with pytest.raises(TypeError, match="not comparable with column"):
+        sn.scan_snapshot(spark, t, "ts", lo=5).inputFiles()
+    # (c) rollback keeps stats; overwrite inherits them
+    sn.rollback(t, 1)
+    assert sn.snapshots(t)[-1].file_stats
+    assert len(sn.scan_snapshot(spark, t, "id", lo=10_000).inputFiles()) \
+        <= 1
+    sn.commit(df2.repartition(1), t, mode="overwrite")
+    last = sn.snapshots(t)[-1]
+    assert last.file_stats and all(
+        set(st) == {"ts", "id"} for st in last.file_stats.values())
