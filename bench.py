@@ -397,9 +397,20 @@ def main() -> None:
         "n_clusters": int(stats["n_clusters"]),
     }
 
+    # one-word regime tag so a reader of the JSON doesn't have to re-derive
+    # the calibration (BENCH/BASELINE.md): healthy >= 2 GB/s fault
+    # bandwidth, sub-healthy 1-2 (numbers inflated up to ~2x), degraded
+    # < 1 (numbers meaningless for code comparisons)
+    faults_seen = [f for f in run_faults if f >= 0]
+    med_fault = sorted(faults_seen)[len(faults_seen) // 2] if faults_seen \
+        else probe_pre.get("fault_gbps", -1)
+    regime = ("healthy" if med_fault >= 2.0 else
+              "sub-healthy" if med_fault >= 1.0 else "degraded")
+
     result = {
         "metric": "e2e_pipeline_sec",
         "value": round(pipeline_sec, 3),
+        "host_regime": regime,
         "unit": "sec",
         "queries": query_secs,
         "ann_recall_at_5": ann_recall,
